@@ -1,0 +1,20 @@
+"""Test env: run everything on CPU with 8 virtual devices so sharding tests
+exercise a real multi-device mesh without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# force CPU even when the shell env points JAX at a TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) forces jax_platforms="axon,cpu" at
+# interpreter start; push it back to pure CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
