@@ -1,0 +1,106 @@
+"""Configuration (reference Params, src/Monodepth.jl:32-42) and the
+device-resident training context (reference TrainCache, src/Monodepth.jl:44-55).
+
+The reference hard-codes paths and hyperparameters inside entry functions; here
+everything is a dataclass round-trippable to JSON for the CLI (SURVEY.md §5
+config gap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import pixel_grid
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # geometry / loss (reference defaults, src/Monodepth.jl:33-42,103-107)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    disparity_smoothness: float = 1e-3
+    automasking: bool = False
+
+    # frames: 3-frame triplets, middle frame is the target
+    frame_ids: Tuple[int, ...] = (0, 1, 2)
+    target_id: int = 1
+    source_ids: Tuple[int, ...] = (0, 2)
+
+    # resolution (width, height) and model
+    target_size: Tuple[int, int] = (416, 128)
+    in_channels: int = 1
+    encoder_depth: int = 18
+    scale_levels: Tuple[int, ...] = (2, 3, 4, 5)
+
+    # optimization (reference: ADAM 1e-4, batch 4, 20 epochs)
+    batch_size: int = 4
+    lr: float = 1e-4
+    epochs: int = 20
+    seed: int = 42
+
+    # precision: params fp32; "bfloat16" computes the network in bf16
+    compute_dtype: str = "float32"
+
+    # cadence (reference: log 50, save 500 — src/Monodepth.jl:149)
+    log_every: int = 50
+    save_every: int = 500
+
+    # io
+    log_dir: str = "logs"
+    save_dir: str = "models"
+
+    @property
+    def scales(self) -> Tuple[float, ...]:
+        """Per-scale loss weights [1/2^(5-l)] (reference src/Monodepth.jl:107)."""
+        return tuple(1.0 / 2.0 ** (5 - l) for l in self.scale_levels)
+
+    @property
+    def width(self) -> int:
+        return self.target_size[0]
+
+    @property
+    def height(self) -> int:
+        return self.target_size[1]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        d = json.loads(s)
+        for k in ("frame_ids", "source_ids", "target_size", "scale_levels"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return TrainConfig(**d)
+
+
+@dataclass(frozen=True)
+class TrainContext:
+    """Device-resident constants for the loss: intrinsics + pixel grid.
+
+    Reference TrainCache (src/Monodepth.jl:44-55) additionally caches SSIM /
+    Backproject / Project closures; under JAX those are free functions closed
+    over by jit, so only the arrays remain.
+    """
+
+    K: Array
+    invK: Array
+    grid: Array  # (H*W, 3) homogeneous pixel coordinates
+
+    @staticmethod
+    def create(K: np.ndarray, width: int, height: int, dtype=jnp.float32) -> "TrainContext":
+        K = jnp.asarray(K, dtype)
+        return TrainContext(
+            K=K,
+            invK=jnp.asarray(np.linalg.inv(np.asarray(K, np.float64)), dtype),
+            grid=pixel_grid(width, height, dtype),
+        )

@@ -1,0 +1,94 @@
+"""Train state + jitted train step.
+
+The reference's per-iteration `gradient`+`update!` (src/Monodepth.jl:170-176)
+becomes a single donated, jitted function: value_and_grad(train_loss) → optax
+update → new state, all on device. The warmup compile the reference does with
+a batch-1 pass (src/Monodepth.jl:128-146) is just XLA's first-call trace here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import TrainConfig, TrainContext
+from .loss import train_loss
+from ..ops.losses import automasking_loss
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    step: Array  # ()
+    params: Any
+    stats: Any  # BatchNorm running statistics
+    opt_state: Any
+    rng: Array  # PRNG key, folded per step
+
+
+def create_train_state(model, cfg: TrainConfig, rng: Optional[Array] = None):
+    """Initialize params/stats/optimizer. Returns (state, optimizer)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_key = jax.random.split(rng)
+    params, stats = model.init(init_key)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            stats=stats,
+            opt_state=opt_state,
+            rng=rng,
+        ),
+        tx,
+    )
+
+
+def make_train_step(
+    model, tx, ctx: TrainContext, cfg: TrainConfig, axis_name: Optional[str] = None
+) -> Callable:
+    """Build the (un-jitted) train step; caller wraps in jit/shard_map.
+
+    If `axis_name` is set, gradients (and BN stats) are mean-reduced across
+    that mesh axis — the data-parallel allreduce that rides ICI
+    (SURVEY.md §2c; the reference is single-device and has no analog).
+    """
+
+    def step_fn(state: TrainState, frames: Array):
+        auto_loss = None
+        if cfg.automasking:
+            auto_loss = automasking_loss(
+                frames, frames[:, cfg.target_id], cfg.source_ids
+            )
+
+        def loss_fn(params):
+            loss, aux = train_loss(
+                model, params, state.stats, frames, ctx, cfg,
+                auto_loss=auto_loss, train=True,
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_stats = aux["stats"]
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            stats=new_stats,
+            opt_state=new_opt_state,
+            rng=jax.random.fold_in(state.rng, state.step),
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics, aux
+
+    return step_fn

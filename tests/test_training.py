@@ -1,0 +1,121 @@
+"""Train-step and simple_depth smoke tests (what the reference lacks —
+SURVEY.md §4 calls for a fake-dataset train smoke test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monodepth2_tpu.models import Model
+from monodepth2_tpu.simple_depth import fit_simple_depth
+from monodepth2_tpu.training import (
+    TrainConfig,
+    TrainContext,
+    create_train_state,
+    make_train_step,
+    train_loss,
+)
+
+
+def _tiny_cfg(**kw):
+    defaults = dict(
+        target_size=(64, 32), batch_size=2, in_channels=1, lr=1e-4
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _fake_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.uniform(size=(cfg.batch_size, 3, cfg.height, cfg.width, cfg.in_channels)),
+        jnp.float32,
+    )
+
+
+def _ctx(cfg):
+    K = np.asarray(
+        [[50.0, 0, cfg.width / 2], [0, 50.0, cfg.height / 2], [0, 0, 1.0]]
+    )
+    return TrainContext.create(K, cfg.width, cfg.height)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    model = Model.create(in_channels=cfg.in_channels, scale_levels=cfg.scale_levels)
+    state, tx = create_train_state(model, cfg)
+    return cfg, model, state, tx
+
+
+def test_train_loss_finite(setup):
+    cfg, model, state, tx = setup
+    loss, aux = train_loss(
+        model, state.params, state.stats, _fake_batch(cfg), _ctx(cfg), cfg
+    )
+    assert np.isfinite(float(loss))
+    assert aux["disparity"].shape == (cfg.batch_size, cfg.height, cfg.width, 1)
+    assert len(aux["warped"]) == 2
+
+
+def test_train_step_updates(setup):
+    cfg, model, state, tx = setup
+    step = jax.jit(make_train_step(model, tx, _ctx(cfg), cfg))
+    batch = _fake_batch(cfg)
+    new_state, metrics, _ = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+
+def test_train_loss_decreases_over_steps(setup):
+    cfg, model, state, tx = setup
+    step = jax.jit(make_train_step(model, tx, _ctx(cfg), cfg))
+    batch = _fake_batch(cfg)
+    losses = []
+    for _ in range(5):
+        state, metrics, _ = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_automasking():
+    cfg = _tiny_cfg(automasking=True)
+    model = Model.create(in_channels=cfg.in_channels)
+    state, tx = create_train_state(model, cfg)
+    step = jax.jit(make_train_step(model, tx, _ctx(cfg), cfg))
+    _, metrics, _ = step(state, _fake_batch(cfg))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_config_json_roundtrip():
+    cfg = TrainConfig(batch_size=7, target_size=(96, 64), automasking=True)
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.scales == (0.125, 0.25, 0.5, 1.0)
+
+
+def test_simple_depth_converges():
+    """The minimum end-to-end slice: loss decreases on a synthetic triplet
+    (reference src/simple_depth.jl with its undefined-warp bug fixed)."""
+    h, w = 24, 32
+    rng = np.random.default_rng(0)
+    base = np.cumsum(rng.uniform(size=(h, w, 1)), axis=1)
+    base = base / base.max()
+    frames = jnp.asarray(
+        np.stack(
+            [np.roll(base, -1, axis=1), base, np.roll(base, 1, axis=1)]
+        )[None],
+        jnp.float32,
+    )
+    K = np.asarray([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1.0]])
+    result = fit_simple_depth(frames, K, n_iters=40, lr=3e-3, log_every=10)
+    first_loss = result["history"][0][1]
+    last_loss = result["history"][-1][1]
+    assert last_loss < first_loss
+    assert result["disparity"].shape == (1, h, w, 1)
+    assert len(result["poses"]) == 2
