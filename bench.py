@@ -1,0 +1,73 @@
+"""Headline benchmark: KITTI-config training throughput (images/sec/chip).
+
+Runs the full self-supervised train step (ResNet-18 + depth/pose decoders +
+4-scale warp loss, batch 4, 416×128 grayscale — the reference's exact training
+configuration, src/Monodepth.jl:103-107) on the default JAX device and prints
+ONE json line.
+
+vs_baseline compares against the reference-CPU proxy measured on this host:
+an equivalent torch-CPU train step runs at 1.20 img/s (see BASELINE.md;
+the Julia reference itself is unbenchmarked upstream and Julia is not
+installed here). North star (BASELINE.json): ≥10× that.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CPU_IMG_PER_SEC = 1.20  # torch-CPU proxy, this host, BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth2_tpu.models import Model
+    from monodepth2_tpu.training import (
+        TrainConfig,
+        TrainContext,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(target_size=(416, 128), batch_size=4, in_channels=1)
+    model = Model.create(depth=18, in_channels=1)
+    state, tx = create_train_state(model, cfg)
+    K = np.asarray(
+        [[482.0, 0, cfg.width / 2], [0, 482.0, cfg.height / 2], [0, 0, 1.0]]
+    )
+    ctx = TrainContext.create(K, cfg.width, cfg.height)
+    step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.uniform(size=(cfg.batch_size, 3, cfg.height, cfg.width, 1)), jnp.float32
+    )
+
+    # warmup/compile
+    state, metrics, _ = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics, _ = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    ips = cfg.batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_416x128_train_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "img/s",
+                "vs_baseline": round(ips / BASELINE_CPU_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

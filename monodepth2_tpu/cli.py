@@ -1,0 +1,220 @@
+"""Command-line entry points (the reference has none — entry is uncommenting
+calls at src/Monodepth.jl:264-267; SURVEY.md §5 flags this as a gap).
+
+    python -m monodepth2_tpu.cli train --data synthetic --max-steps 20
+    python -m monodepth2_tpu.cli train --data kitti --root /path/kitti
+    python -m monodepth2_tpu.cli eval-image --checkpoint models/ckpt-100 --images dir/
+    python -m monodepth2_tpu.cli eval-video --checkpoint models/ckpt-100 --video v.mp4
+    python -m monodepth2_tpu.cli simple-depth --dtk-dir imgs/ --files list.txt
+    python -m monodepth2_tpu.cli refine-dtk --dtk-dir imgs/ --files list.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_config_args(p: argparse.ArgumentParser):
+    p.add_argument("--config", help="JSON config file (TrainConfig fields)")
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--automasking", action="store_true", default=None)
+    p.add_argument("--log-dir")
+    p.add_argument("--save-dir")
+    p.add_argument("--seed", type=int)
+
+
+def _build_config(args) -> "TrainConfig":
+    from .training import TrainConfig
+
+    base = {}
+    if args.config:
+        with open(args.config) as f:
+            base = json.loads(f.read())
+    cfg = TrainConfig.from_json(json.dumps(base)) if base else TrainConfig()
+    overrides = {}
+    for field, attr in [
+        ("batch_size", "batch_size"),
+        ("lr", "lr"),
+        ("epochs", "epochs"),
+        ("automasking", "automasking"),
+        ("log_dir", "log_dir"),
+        ("save_dir", "save_dir"),
+        ("seed", "seed"),
+    ]:
+        v = getattr(args, attr, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "width", None) and getattr(args, "height", None):
+        overrides["target_size"] = (args.width, args.height)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def _build_dataset(args, cfg):
+    from .data import DChain, Depth10k, FlipX, KittiDataset, SyntheticTriplets
+
+    aug = FlipX(0.5) if not args.no_augment else None
+    if args.data == "synthetic":
+        return SyntheticTriplets(
+            n=args.synthetic_n, target_size=cfg.target_size, channels=cfg.in_channels
+        )
+    if args.data == "kitti":
+        seqs = args.sequences.split(",") if args.sequences else [
+            f"{i:02d}" for i in range(22)
+        ]
+        sets = []
+        for s in seqs:
+            try:
+                sets.append(
+                    KittiDataset(
+                        args.root, s, target_size=cfg.target_size, augmentations=aug
+                    )
+                )
+            except FileNotFoundError:
+                pass
+        if not sets:
+            sys.exit(f"no KITTI sequences found under {args.root}")
+        return DChain(sets)
+    if args.data == "dtk":
+        with open(args.files) as f:
+            files = [l.strip() for l in f if l.strip()]
+        return Depth10k(
+            args.root, files, augmentations=aug, grayscale=cfg.in_channels == 1
+        )
+    sys.exit(f"unknown --data {args.data}")
+
+
+def cmd_train(args):
+    from .parallel import make_mesh
+    from .training.loop import fit
+
+    cfg = _build_config(args)
+    dataset = _build_dataset(args, cfg)
+    mesh = None
+    if args.mesh > 1:
+        mesh = make_mesh(args.mesh)
+    state, _ = fit(cfg, dataset, mesh=mesh, resume=not args.no_resume,
+                   max_steps=args.max_steps)
+    print(f"done at step {int(state.step)}")
+
+
+def cmd_eval_image(args):
+    from .eval import eval_images
+
+    cfg = _build_config(args)
+    n = eval_images(cfg, args.checkpoint, args.images, args.out, limit=args.limit)
+    print(f"wrote {n} disparity maps to {args.out}")
+
+
+def cmd_eval_video(args):
+    from .eval import eval_video
+
+    cfg = _build_config(args)
+    n = eval_video(cfg, args.checkpoint, args.video, args.out, limit=args.limit)
+    print(f"wrote {n} disparity maps to {args.out}")
+
+
+def cmd_simple_depth(args):
+    import jax.numpy as jnp
+
+    from .data import Depth10k, SyntheticTriplets
+    from .simple_depth import fit_simple_depth
+    from .utils.viz import save_disparity
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.dtk_dir:
+        with open(args.files) as f:
+            files = [l.strip() for l in f if l.strip()]
+        ds = Depth10k(args.dtk_dir, files)
+    else:
+        ds = SyntheticTriplets(n=max(args.index + 1, 1), target_size=(416, 128))
+    frames = jnp.asarray(ds[args.index][None])
+    K = ds.K
+
+    def cb(it, params, loss, warped):
+        save_disparity(
+            np.asarray(params["disp"][0, ..., 0]),
+            os.path.join(args.out, f"d-{it}.png"),
+        )
+        print(f"iter {it}: loss {loss:.5f} mean disp {float(params['disp'].mean()):.4f}")
+
+    res = fit_simple_depth(frames, K, n_iters=args.iters, callback=cb)
+    print("final loss:", res["history"][-1][1])
+
+
+def cmd_refine_dtk(args):
+    from .data import Depth10k, find_static
+
+    with open(args.files) as f:
+        files = [l.strip() for l in f if l.strip()]
+    ds = Depth10k(args.root, files, grayscale=True)
+    non_static = find_static(ds, args.alpha, progress=True)
+    with open(args.out, "w") as f:
+        for name in non_static:
+            f.write(name + "\n")
+    print(f"kept {len(non_static)}/{len(files)} non-static triplets -> {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="monodepth2_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="self-supervised training")
+    _add_config_args(p)
+    p.add_argument("--data", choices=["kitti", "dtk", "synthetic"], default="synthetic")
+    p.add_argument("--root", help="dataset root dir")
+    p.add_argument("--sequences", help="comma-separated KITTI sequences (default all 22)")
+    p.add_argument("--files", help="Depth10k file-list path")
+    p.add_argument("--synthetic-n", type=int, default=64)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--mesh", type=int, default=1, help="data-parallel devices")
+    p.add_argument("--max-steps", type=int)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval-image", help="directory inference")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--limit", type=int)
+    p.set_defaults(fn=cmd_eval_image)
+
+    p = sub.add_parser("eval-video", help="video inference")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--video", required=True)
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--limit", type=int)
+    p.set_defaults(fn=cmd_eval_video)
+
+    p = sub.add_parser("simple-depth", help="single-triplet disparity fit demo")
+    p.add_argument("--dtk-dir")
+    p.add_argument("--files")
+    p.add_argument("--index", type=int, default=8)
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--out", default="simple_depth_out")
+    p.set_defaults(fn=cmd_simple_depth)
+
+    p = sub.add_parser("refine-dtk", help="filter static Depth10k triplets")
+    p.add_argument("--root", required=True)
+    p.add_argument("--files", required=True)
+    p.add_argument("--alpha", type=float, default=0.03)
+    p.add_argument("--out", default="trainable-nonstatic")
+    p.set_defaults(fn=cmd_refine_dtk)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Concatenation of datasets (reference: src/dchain.jl DChain).
+
+Binary-search index mapping instead of the reference's linear scan."""
+
+from __future__ import annotations
+
+import bisect
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class DChain:
+    def __init__(self, datasets: Sequence):
+        if not datasets:
+            raise ValueError("DChain needs at least one dataset")
+        self.datasets = list(datasets)
+        self.bins = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self) -> int:
+        return self.bins[-1]
+
+    def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        bid = bisect.bisect_right(self.bins, i)
+        local = i - (self.bins[bid - 1] if bid > 0 else 0)
+        ds = self.datasets[bid]
+        try:
+            return ds.__getitem__(local, rng)
+        except TypeError:
+            return ds[local]

@@ -1,0 +1,85 @@
+"""CommaAI Depth10k triplet dataset + static-scene curation
+(reference: src/dtk.jl).
+
+Each file is a 1248-wide strip of 3 horizontally-concatenated 416×128 frames.
+Fixed intrinsics: focal 2648/4.63461538462, principal point at center
+(reference src/dtk.jl:16-22). `find_static` flags triplets whose identity
+automasking loss exceeds α — stationary-camera scenes that would teach the
+network infinite depth (reference src/dtk.jl:51-69).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+DTK_WIDTH, DTK_HEIGHT = 416, 128
+DTK_FOCAL = 2648.0 / 4.63461538462
+
+
+class Depth10k:
+    def __init__(
+        self,
+        image_dir: str,
+        image_files: Sequence[str],
+        augmentations=None,
+        grayscale: bool = False,
+    ):
+        self.dir = image_dir
+        self.files = list(image_files)
+        self.augmentations = augmentations
+        self.grayscale = grayscale
+        self.width, self.height = DTK_WIDTH, DTK_HEIGHT
+        self.K = np.asarray(
+            [
+                [DTK_FOCAL, 0, DTK_WIDTH / 2.0],
+                [0, DTK_FOCAL, DTK_HEIGHT / 2.0],
+                [0, 0, 1.0],
+            ],
+            np.float64,
+        )
+        self.invK = np.linalg.inv(self.K)
+        self.target_id = 1
+        self.source_ids = (0, 2)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
+        path = os.path.join(self.dir, self.files[i])
+        with Image.open(path) as im:
+            im = im.convert("L" if self.grayscale else "RGB")
+            strip = np.asarray(im, np.float32) / 255.0
+        if strip.ndim == 2:
+            strip = strip[..., None]
+        w = self.width
+        frames = [strip[:, j * w : (j + 1) * w] for j in range(3)]
+        if self.augmentations is not None:
+            rng = rng or np.random.default_rng()
+            frames = self.augmentations(frames, rng)
+        return np.stack(frames, axis=0)  # (3,H,W,C)
+
+
+def find_static(dataset, alpha: float, progress: bool = False) -> List[str]:
+    """Return the filenames of NON-static triplets (identity automasking loss
+    above `alpha`) — reference find_static, src/dtk.jl:51-69."""
+    import jax.numpy as jnp
+
+    from ..ops.losses import automasking_loss
+
+    non_static = []
+    for i in range(len(dataset)):
+        x = jnp.asarray(dataset[i][None])  # (1,3,H,W,C)
+        loss = float(
+            jnp.mean(
+                automasking_loss(x, x[:, dataset.target_id], dataset.source_ids)
+            )
+        )
+        if loss > alpha:
+            non_static.append(dataset.files[i])
+        if progress and (i + 1) % 50 == 0:
+            print(f"find_static {i + 1}/{len(dataset)}: kept {len(non_static)}")
+    return non_static

@@ -1,0 +1,130 @@
+"""Async batched loader + device prefetch.
+
+Replaces the reference's DataLoaders.jl worker threads
+(src/Monodepth.jl:130,153): per-epoch shuffle, worker-thread decode, bounded
+prefetch queue, and a separate device-transfer prefetcher that keeps the next
+batch's H2D copy in flight while the current step runs (double buffering into
+HBM — the transfer boundary the reference crosses synchronously per step at
+src/Monodepth.jl:157).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+
+
+class DataLoader:
+    """Iterates (N, L, H, W, C) float32 numpy batches.
+
+    shuffle reshuffles each epoch with a per-epoch fold of `seed`
+    (reference: shuffleobs per epoch, src/Monodepth.jl:153).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 4,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + 1000003 * self.epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        self.epoch += 1
+        rng = np.random.default_rng(self.seed * 7 + self.epoch)
+
+        def load_one(idx: int) -> np.ndarray:
+            try:
+                return self.dataset.__getitem__(int(idx), rng)
+            except TypeError:
+                return self.dataset[int(idx)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop_evt = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for idx_batch in self._index_batches():
+                        if stop_evt.is_set():
+                            return
+                        items = list(pool.map(load_one, idx_batch))
+                        q.put(np.stack(items, axis=0))
+                    q.put(None)
+                except BaseException as e:  # surface worker errors to consumer
+                    q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop_evt.set()
+
+
+def device_prefetch(iterator, size: int = 2, device=None, dtype=None):
+    """Keep `size` batches' host→device transfers in flight ahead of use.
+
+    jax.device_put is async — enqueueing the next copy before yielding the
+    current batch overlaps H2D DMA with the running train step.
+    """
+    import collections
+
+    buf = collections.deque()
+
+    def put(x):
+        x = jax.numpy.asarray(x, dtype) if dtype is not None else x
+        return jax.device_put(x, device)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

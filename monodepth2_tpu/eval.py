@@ -1,0 +1,174 @@
+"""Inference + evaluation harness.
+
+Reference: eval_image/eval_video (src/Monodepth.jl:201-248) run frame-at-a-
+time with a device round-trip per frame; here inference is batched under one
+jitted function (the improvement SURVEY.md §3.3 calls for). Also adds the
+KITTI AbsRel/δ accuracy evaluation the reference never implements
+(BASELINE.md: "stand up a KITTI AbsRel/δ eval harness").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .models import Model
+from .ops.geometry import disparity_to_depth
+from .training.checkpoint import load_checkpoint
+from .training.config import TrainConfig
+from .training.state import create_train_state
+from .utils.metrics import depth_metrics
+from .utils.viz import save_disparity
+
+
+def load_model(cfg: TrainConfig, checkpoint_path: str):
+    """Rebuild model + restore checkpointed params/stats for inference."""
+    model = Model.create(
+        depth=cfg.encoder_depth,
+        in_channels=cfg.in_channels,
+        scale_levels=cfg.scale_levels,
+    )
+    state, _ = create_train_state(model, cfg)
+    state = load_checkpoint(checkpoint_path, state)
+    return model, state.params, state.stats
+
+
+def make_infer_fn(model, params, stats):
+    """Jitted batched disparity inference: (N,H,W,C) -> (N,H,W) finest scale."""
+
+    @jax.jit
+    def infer(x):
+        disparities = model.eval_disparity(params, stats, x)
+        return disparities[-1][..., 0]
+
+    return infer
+
+
+def _load_image(path: str, width: int, height: int, grayscale: bool) -> np.ndarray:
+    with Image.open(path) as im:
+        im = im.convert("L" if grayscale else "RGB")
+        im = im.resize((width, height), Image.BILINEAR)
+        arr = np.asarray(im, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+def _batched(frames: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
+    buf: List[np.ndarray] = []
+    for f in frames:
+        buf.append(f)
+        if len(buf) == batch_size:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        yield np.stack(buf)
+
+
+def eval_images(
+    cfg: TrainConfig,
+    checkpoint_path: str,
+    image_dir: str,
+    out_dir: str,
+    batch_size: int = 8,
+    limit: Optional[int] = None,
+) -> int:
+    """Directory of frames -> disparity heatmap PNGs (reference eval_image).
+
+    Returns the number of frames processed."""
+    model, params, stats = load_model(cfg, checkpoint_path)
+    infer = make_infer_fn(model, params, stats)
+    files = sorted(f for f in os.listdir(image_dir) if f.endswith((".png", ".jpg")))
+    if limit:
+        files = files[:limit]
+    os.makedirs(out_dir, exist_ok=True)
+
+    frames = (
+        _load_image(os.path.join(image_dir, f), cfg.width, cfg.height, cfg.in_channels == 1)
+        for f in files
+    )
+    n = 0
+    for batch in _batched(frames, batch_size):
+        disp = np.asarray(infer(jnp.asarray(batch)))
+        for j in range(disp.shape[0]):
+            save_disparity(disp[j], os.path.join(out_dir, f"d-{n + j}.png"))
+        n += disp.shape[0]
+    return n
+
+
+def eval_video(
+    cfg: TrainConfig,
+    checkpoint_path: str,
+    video_path: str,
+    out_dir: str,
+    batch_size: int = 8,
+    limit: Optional[int] = None,
+) -> int:
+    """Video stream -> disparity heatmap PNGs (reference eval_video,
+    src/Monodepth.jl:229-248), batched through imageio-ffmpeg."""
+    import imageio.v3 as iio
+
+    model, params, stats = load_model(cfg, checkpoint_path)
+    infer = make_infer_fn(model, params, stats)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def frames():
+        for i, frame in enumerate(iio.imiter(video_path)):
+            if limit and i >= limit:
+                return
+            im = Image.fromarray(frame).convert("L" if cfg.in_channels == 1 else "RGB")
+            im = im.resize((cfg.width, cfg.height), Image.BILINEAR)
+            arr = np.asarray(im, np.float32) / 255.0
+            yield arr[..., None] if arr.ndim == 2 else arr
+
+    n = 0
+    for batch in _batched(frames(), batch_size):
+        disp = np.asarray(infer(jnp.asarray(batch)))
+        for j in range(disp.shape[0]):
+            save_disparity(disp[j], os.path.join(out_dir, f"d-{n + j}.png"))
+        n += disp.shape[0]
+    return n
+
+
+def eval_depth_accuracy(
+    cfg: TrainConfig,
+    checkpoint_path: str,
+    images: Sequence[np.ndarray],
+    gt_depths: Sequence[np.ndarray],
+    batch_size: int = 8,
+    min_depth: float = 1e-3,
+    max_depth: float = 80.0,
+):
+    """AbsRel/δ<1.25 etc. against ground-truth depth maps, median-scaled.
+
+    images: (H,W,C) float frames at model resolution; gt_depths at any
+    resolution (prediction is resized to match each gt map).
+    """
+    model, params, stats = load_model(cfg, checkpoint_path)
+    infer = make_infer_fn(model, params, stats)
+
+    per_image = []
+    idx = 0
+    for batch in _batched(iter(images), batch_size):
+        disp = np.asarray(infer(jnp.asarray(batch)))
+        depth = np.asarray(
+            disparity_to_depth(jnp.asarray(disp), cfg.min_depth, cfg.max_depth)
+        )
+        for j in range(depth.shape[0]):
+            gt = np.asarray(gt_depths[idx])
+            pred = np.asarray(
+                Image.fromarray(depth[j]).resize(
+                    (gt.shape[1], gt.shape[0]), Image.BILINEAR
+                )
+            )
+            per_image.append(
+                depth_metrics(pred, gt, min_depth=min_depth, max_depth=max_depth)
+            )
+            idx += 1
+    keys = per_image[0].keys()
+    return {k: float(np.mean([m[k] for m in per_image])) for k in keys}

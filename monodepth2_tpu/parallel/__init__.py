@@ -1,0 +1,15 @@
+"""Device-mesh parallelism (no analog in the single-GPU reference —
+SURVEY.md §2c mandates DP over ICI as the one implemented strategy, with the
+mesh layer written so 2-D meshes are not precluded)."""
+
+from .mesh import make_mesh, batch_sharding, replicated_sharding
+from .dp import make_parallel_train_step, shard_batch, make_shardmap_train_step
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "make_parallel_train_step",
+    "make_shardmap_train_step",
+]

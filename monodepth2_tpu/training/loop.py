@@ -1,0 +1,120 @@
+"""Epoch training driver (reference: train(), src/Monodepth.jl:70-199).
+
+Differences from the reference, all deliberate: resumable (full state
+checkpointed at save cadence), throughput metrics (images/sec), optional
+data-parallel mesh, device-prefetched input pipeline, and everything driven
+by TrainConfig instead of hard-coded paths.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, device_prefetch
+from ..models import Model
+from ..parallel import make_mesh, make_parallel_train_step, shard_batch
+from ..utils.profiler import StepTimer
+from ..utils.viz import save_disparity, save_warped
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .config import TrainConfig, TrainContext
+from .state import create_train_state, make_train_step
+
+
+def fit(
+    cfg: TrainConfig,
+    dataset,
+    K: Optional[np.ndarray] = None,
+    mesh=None,
+    resume: bool = True,
+    verbose: bool = True,
+    max_steps: Optional[int] = None,
+):
+    """Train on `dataset` (items (3,H,W,C)); returns the final TrainState.
+
+    K defaults to dataset.K. mesh=None → single device; a Mesh → GSPMD data
+    parallelism with the global batch sharded over it.
+    """
+    if K is None:
+        K = dataset.K
+    ctx = TrainContext.create(np.asarray(K), cfg.width, cfg.height)
+
+    model = Model.create(
+        depth=cfg.encoder_depth,
+        in_channels=cfg.in_channels,
+        scale_levels=cfg.scale_levels,
+    )
+    state, tx = create_train_state(model, cfg)
+
+    start_epoch = 0
+    if resume:
+        ck = latest_checkpoint(cfg.save_dir)
+        if ck is not None:
+            state = load_checkpoint(ck, state)
+            if verbose:
+                print(f"resumed from {ck} at step {int(state.step)}")
+
+    if mesh is not None:
+        step = make_parallel_train_step(model, tx, ctx, cfg, mesh)
+    else:
+        step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    timer = StepTimer()
+    loader = DataLoader(
+        dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
+    )
+    steps_per_epoch = len(loader)
+    done = False
+    for epoch in range(start_epoch, cfg.epochs):
+        if done:
+            break
+        batches = device_prefetch(iter(loader), size=2, dtype=jnp.float32)
+        for i, batch in enumerate(batches):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics, aux = step(state, batch)
+            timer.tick()
+            global_step = int(state.step)
+
+            if cfg.log_every and global_step % cfg.log_every == 0:
+                loss = float(metrics["loss"])
+                ips = timer.images_per_sec(cfg.batch_size)
+                if verbose:
+                    print(
+                        f"epoch {epoch + 1}/{cfg.epochs} step {global_step} "
+                        f"loss {loss:.5f} {ips:.1f} img/s"
+                    )
+                disp = np.asarray(aux["disparity"][0, ..., 0])
+                save_disparity(disp, os.path.join(cfg.log_dir, f"disp-{global_step}.png"))
+                for sid, w in enumerate(aux["warped"]):
+                    save_warped(
+                        np.asarray(w[0]),
+                        os.path.join(cfg.log_dir, f"warp-{global_step}-{sid}.png"),
+                    )
+
+            if cfg.save_every and global_step % cfg.save_every == 0:
+                save_checkpoint(
+                    os.path.join(cfg.save_dir, f"ckpt-{global_step}"),
+                    state,
+                    metadata={"step": global_step, "loss": float(metrics["loss"]),
+                              "config": cfg.to_json()},
+                )
+
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+
+    save_checkpoint(
+        os.path.join(cfg.save_dir, f"ckpt-{int(state.step)}"),
+        state,
+        metadata={"step": int(state.step), "config": cfg.to_json()},
+    )
+    return state, model

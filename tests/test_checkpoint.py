@@ -1,0 +1,86 @@
+"""Checkpoint/resume tests — the capability the reference lacks entirely
+(it can only save the model, never resume; SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monodepth2_tpu.models import Model
+from monodepth2_tpu.training import (
+    TrainConfig,
+    TrainContext,
+    create_train_state,
+    make_train_step,
+)
+from monodepth2_tpu.training.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TrainConfig(target_size=(64, 32), batch_size=2)
+    model = Model.create(in_channels=1)
+    state, tx = create_train_state(model, cfg)
+    K = np.asarray([[50.0, 0, 32], [0, 50.0, 16], [0, 0, 1.0]])
+    ctx = TrainContext.create(K, 64, 32)
+    return cfg, model, state, tx, ctx
+
+
+def test_roundtrip(tmp_path, setup):
+    cfg, model, state, tx, ctx = setup
+    path = str(tmp_path / "ckpt-0")
+    save_checkpoint(path, state, metadata={"step": 0})
+    restored = load_checkpoint(path, state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_identically(tmp_path, setup):
+    """Training N steps straight == training k, checkpointing, resuming,
+    training N-k more — bit-for-bit (full optimizer state round-trips)."""
+    cfg, model, state, tx, ctx = setup
+    step = jax.jit(make_train_step(model, tx, ctx, cfg))
+    batch = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 3, 32, 64, 1)), jnp.float32
+    )
+
+    s = state
+    for _ in range(2):
+        s, _, _ = step(s, batch)
+    path = str(tmp_path / "ckpt-2")
+    save_checkpoint(path, s)
+    for _ in range(2):
+        s, _, _ = step(s, batch)
+
+    r = load_checkpoint(path, state)
+    assert int(r.step) == 2
+    for _ in range(2):
+        r, _, _ = step(r, batch)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s.params), jax.tree_util.tree_leaves(r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shape_mismatch_rejected(tmp_path, setup):
+    cfg, model, state, tx, ctx = setup
+    path = str(tmp_path / "ckpt-bad")
+    save_checkpoint(path, state)
+    other = Model.create(in_channels=3)
+    other_state, _ = create_train_state(other, cfg)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, other_state)
+
+
+def test_latest_checkpoint(tmp_path, setup):
+    cfg, model, state, tx, ctx = setup
+    assert latest_checkpoint(str(tmp_path)) is None
+    for step_n in (5, 20, 100):
+        save_checkpoint(str(tmp_path / f"ckpt-{step_n}"), state)
+    best = latest_checkpoint(str(tmp_path))
+    assert best.endswith("ckpt-100")

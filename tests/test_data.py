@@ -1,0 +1,141 @@
+"""Data-layer tests with synthetic on-disk fixtures (the reference has no
+dataset tests at all — SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from monodepth2_tpu.data import (
+    DChain,
+    DataLoader,
+    Depth10k,
+    FlipX,
+    KittiDataset,
+    SyntheticTriplets,
+    find_static,
+)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    """Miniature KITTI-odometry tree: 2 sequences × 9 frames of 64×32."""
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.default_rng(0)
+    for seq in ("00", "01"):
+        seq_dir = root / "sequences" / seq
+        img_dir = seq_dir / "image_0"
+        img_dir.mkdir(parents=True)
+        # P0 line like real calib.txt
+        (seq_dir / "calib.txt").write_text(
+            "P0: 700.0 0.0 32.0 0.0 0.0 700.0 16.0 0.0 0.0 0.0 1.0 0.0\n"
+        )
+        for i in range(9):
+            arr = (rng.uniform(size=(32, 64)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(img_dir / f"{i:06d}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def dtk_root(tmp_path_factory):
+    """Depth10k-style strips: 1248×128 = 3 frames of 416×128."""
+    root = tmp_path_factory.mktemp("dtk")
+    rng = np.random.default_rng(1)
+    files = []
+    for i in range(3):
+        if i == 0:  # static triplet: 3 identical frames
+            frame = (rng.uniform(size=(128, 416, 3)) * 255).astype(np.uint8)
+            strip = np.concatenate([frame] * 3, axis=1)
+        else:
+            strip = (rng.uniform(size=(128, 1248, 3)) * 255).astype(np.uint8)
+        name = f"strip{i}.png"
+        Image.fromarray(strip, "RGB").save(root / name)
+        files.append(name)
+    return str(root), files
+
+
+def test_kitti_dataset(kitti_root):
+    ds = KittiDataset(kitti_root, "00", target_size=(48, 24))
+    assert len(ds) == 3  # 9 frames / 3
+    x = ds[0]
+    assert x.shape == (3, 24, 48, 1)
+    assert x.dtype == np.float32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    # intrinsics: focal rescaled, principal point at center
+    assert ds.K[0, 2] == 24  # W//2
+    assert ds.K[1, 2] == 12
+    expected_fx = np.mean([24 / 32, 48 / 64]) * 700.0
+    assert ds.K[0, 0] == pytest.approx(expected_fx)
+
+
+def test_kitti_triplets_non_overlapping(kitti_root):
+    ds = KittiDataset(kitti_root, "00", target_size=(48, 24))
+    x0, x1 = ds[0], ds[1]
+    assert not np.allclose(x0, x1)
+
+
+def test_depth10k_dataset(dtk_root):
+    root, files = dtk_root
+    ds = Depth10k(root, files)
+    assert len(ds) == 3
+    x = ds[0]
+    assert x.shape == (3, 128, 416, 3)
+    ds_gray = Depth10k(root, files, grayscale=True)
+    assert ds_gray[0].shape == (3, 128, 416, 1)
+
+
+def test_find_static(dtk_root):
+    root, files = dtk_root
+    ds = Depth10k(root, files, grayscale=True)
+    non_static = find_static(ds, alpha=0.03)
+    assert "strip0.png" not in non_static  # the static triplet is filtered
+    assert len(non_static) == 2
+
+
+def test_flipx_consistency():
+    rng = np.random.default_rng(2)
+    frames = [rng.uniform(size=(8, 12, 1)).astype(np.float32) for _ in range(3)]
+    flipped = FlipX(p=1.0)(frames, rng)
+    for f, g in zip(frames, flipped):
+        np.testing.assert_array_equal(g, f[:, ::-1])
+    same = FlipX(p=0.0)(frames, rng)
+    for f, g in zip(frames, same):
+        np.testing.assert_array_equal(g, f)
+
+
+def test_dchain(kitti_root):
+    d0 = KittiDataset(kitti_root, "00", target_size=(48, 24))
+    d1 = KittiDataset(kitti_root, "01", target_size=(48, 24))
+    chain = DChain([d0, d1])
+    assert len(chain) == 6
+    np.testing.assert_array_equal(chain[0], d0[0])
+    np.testing.assert_array_equal(chain[3], d1[0])
+    np.testing.assert_array_equal(chain[5], d1[2])
+    with pytest.raises(IndexError):
+        chain[6]
+
+
+def test_dataloader_batching():
+    ds = SyntheticTriplets(n=10, target_size=(32, 16))
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0].shape == (4, 3, 16, 32, 1)
+
+
+def test_dataloader_shuffles_per_epoch():
+    ds = SyntheticTriplets(n=8, target_size=(16, 8))
+    loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    e1 = next(iter(loader))
+    e2 = next(iter(loader))
+    assert not np.allclose(e1, e2)  # different epoch → different order
+    # determinism: fresh loader with same seed reproduces epoch 1
+    loader2 = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    np.testing.assert_array_equal(e1, next(iter(loader2)))
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticTriplets(n=4, target_size=(32, 16))
+    np.testing.assert_array_equal(ds[2], ds[2])
+    assert ds[0].shape == (3, 16, 32, 1)
