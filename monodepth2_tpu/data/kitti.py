@@ -47,6 +47,7 @@ class KittiDataset:
         augmentations=None,
         grayscale: bool = True,
         frame_ids: Tuple[int, ...] = (0, 1, 2),
+        use_native: bool = True,
     ):
         seq_dir = os.path.join(root, "sequences", sequence)
         self.frames_dir = os.path.join(seq_dir, "image_0")
@@ -75,11 +76,19 @@ class KittiDataset:
         self.target_id = 1
         self.source_ids = (0, 2)
 
+        from . import native as _native
+
+        self._native = _native if (use_native and _native.available()) else None
+
     def __len__(self) -> int:
         return self.n_frames // len(self.frame_ids)
 
     def _load_frame(self, idx: int) -> np.ndarray:
         path = os.path.join(self.frames_dir, f"{idx:06d}.png")
+        if self._native is not None:
+            return self._native.load_resize(
+                path, self.width, self.height, 1 if self.grayscale else 3
+            )
         with Image.open(path) as im:
             if self.grayscale:
                 im = im.convert("L")

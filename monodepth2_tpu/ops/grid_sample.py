@@ -132,16 +132,20 @@ def grid_sample(image: Array, uv: Array, method: Optional[str] = None) -> Array:
     """Sample NHWC `image` at normalized coords `uv` (N,P,2) in (-1,1).
 
     Returns (N,P,C). uv[..., 0] is x (width axis), uv[..., 1] is y.
-    method: None (auto: one-hot matmuls on TPU, gathers on CPU),
-    "gather", or "onehot".
+    method: None (auto: Pallas kernel on TPU, gathers on CPU),
+    "gather", "onehot", or "pallas" (fused VMEM kernel, ops/pallas/).
     """
     if method is None:
         platform = jax.devices()[0].platform
-        method = "gather" if platform == "cpu" else "onehot"
+        method = "gather" if platform == "cpu" else "pallas"
     if method == "gather":
         return _grid_sample_gather(image, uv)
     if method == "onehot":
         return _grid_sample_onehot(image, uv)
+    if method == "pallas":
+        from .pallas import grid_sample_pallas
+
+        return grid_sample_pallas(image, uv)
     raise ValueError(f"unknown grid_sample method {method!r}")
 
 

@@ -46,9 +46,27 @@ def train_loss(
     loss (for viz/debug — reference returns the same trio) and new BN stats.
     """
     target = frames[:, cfg.target_id]
-    disparities, poses, new_stats = model(
-        params, stats, frames, cfg.source_ids, cfg.target_id, train=train
-    )
+    if cfg.compute_dtype == "bfloat16":
+        # mixed precision: network in bf16 on the MXU, geometry/loss in fp32.
+        # Master params stay fp32 (the cast is linear, so gradients flow to
+        # the fp32 leaves automatically).
+        bf16 = jnp.bfloat16
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
+        disparities, poses, new_stats = model(
+            cast(params), cast(stats), frames.astype(bf16),
+            cfg.source_ids, cfg.target_id, train=train,
+        )
+        disparities = [d.astype(frames.dtype) for d in disparities]
+        poses = [
+            (r.astype(frames.dtype), t.astype(frames.dtype)) for r, t in poses
+        ]
+        new_stats = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), new_stats
+        )
+    else:
+        disparities, poses, new_stats = model(
+            params, stats, frames, cfg.source_ids, cfg.target_id, train=train
+        )
 
     # target→source rigid transforms; sources before the target use the
     # inverted transform (reference src/training.jl:29-32)
