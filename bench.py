@@ -31,7 +31,10 @@ def main():
         make_train_step,
     )
 
-    cfg = TrainConfig(target_size=(416, 128), batch_size=4, in_channels=1)
+    cfg = TrainConfig(
+        target_size=(416, 128), batch_size=4, in_channels=1,
+        compute_dtype="bfloat16", warp_method="pallas",
+    )
     model = Model.create(depth=18, in_channels=1)
     state, tx = create_train_state(model, cfg)
     K = np.asarray(

@@ -86,6 +86,7 @@ def warp_images(
     source_ids: Sequence[int],
     min_depth: float,
     max_depth: float,
+    method: str = None,
 ) -> list:
     """Warp each source frame into the target view through predicted depth.
 
@@ -103,6 +104,6 @@ def warp_images(
     warped = []
     for (R, t), sid in zip(poses, source_ids):
         uv = project(points, K, R, t, w, h)  # (N,HW,2)
-        sampled = grid_sample(frames[:, sid], uv)  # (N,HW,C)
+        sampled = grid_sample(frames[:, sid], uv, method=method)  # (N,HW,C)
         warped.append(sampled.reshape(n, h, w, frames.shape[-1]))
     return warped

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-Q = 512  # output points per grid step
+Q = 2048  # output points per grid step (swept: 2048 best on v5e)
 
 
 def _coords(image_hw, uv):
@@ -69,8 +69,8 @@ def _onehot_pair(idx_row, weight_row, size, limit):
 
 def _fwd_kernel(img_ref, x0_ref, y0_ref, wx_ref, wy_ref, out_ref, *, H, W, precise):
     img = img_ref[0]  # (H, W)
-    Wx = _onehot_pair(x0_ref[:], wx_ref[:], W, W)  # (W, Q)
-    Wy = _onehot_pair(y0_ref[:], wy_ref[:], H, H)  # (H, Q)
+    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W)  # (W, Q)
+    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H)  # (H, Q)
     if precise:
         pm = jax.lax.dot_general(
             img, Wx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -81,7 +81,7 @@ def _fwd_kernel(img_ref, x0_ref, y0_ref, wx_ref, wy_ref, out_ref, *, H, W, preci
             img.astype(jnp.bfloat16), Wx.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-    out_ref[:] = jnp.sum(pm * Wy, axis=0, keepdims=True)  # (1, Q)
+    out_ref[0, 0] = jnp.sum(pm * Wy, axis=0, keepdims=True)  # (1, Q)
 
 
 def _bwd_kernel(
@@ -89,9 +89,9 @@ def _bwd_kernel(
     dimg_ref, du_ref, dv_ref, *, H, W, precise,
 ):
     img = img_ref[0]
-    g = g_ref[:]  # (1, Q)
-    Wx = _onehot_pair(x0_ref[:], wx_ref[:], W, W)  # (W, Q)
-    Wy = _onehot_pair(y0_ref[:], wy_ref[:], H, H)  # (H, Q)
+    g = g_ref[0, 0]  # (1, Q)
+    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W)  # (W, Q)
+    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H)  # (H, Q)
 
     def dot(a, b, dims):
         if precise:
@@ -116,11 +116,11 @@ def _bwd_kernel(
 
     # weight-derivative one-hots: dM/dw = O1 − O0
     ki_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
-    x0 = x0_ref[:]
+    x0 = x0_ref[0, 0]
     x1 = jnp.minimum(x0 + 1, W - 1)
     Dx = jnp.where(ki_w == x1, 1.0, 0.0) - jnp.where(ki_w == x0, 1.0, 0.0)
     ki_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
-    y0 = y0_ref[:]
+    y0 = y0_ref[0, 0]
     y1 = jnp.minimum(y0 + 1, H - 1)
     Dy = jnp.where(ki_h == y1, 1.0, 0.0) - jnp.where(ki_h == y0, 1.0, 0.0)
 
@@ -131,8 +131,8 @@ def _bwd_kernel(
     dwy = jnp.sum(Dy * pm, axis=0, keepdims=True) * g
 
     # border clamp: no coordinate gradient outside the image
-    du_ref[:] = jnp.where(iu_ref[:] != 0, dwx, 0.0)
-    dv_ref[:] = jnp.where(iv_ref[:] != 0, dwy, 0.0)
+    du_ref[0, 0] = jnp.where(iu_ref[0, 0] != 0, dwx, 0.0)
+    dv_ref[0, 0] = jnp.where(iv_ref[0, 0] != 0, dwy, 0.0)
 
 
 def _pad_points(arrs, P):
@@ -142,12 +142,22 @@ def _pad_points(arrs, P):
     return [jnp.pad(a, ((0, 0), (0, Ppad - P))) for a in arrs], P
 
 
+def _row4(a):
+    """(N, P) -> (N, P//Q, 1, Q): Mosaic requires the last two block dims to
+    be tile-aligned or equal to the array dims; (1, Q) trailing dims satisfy
+    the 'equal' branch."""
+    N, P = a.shape
+    return a.reshape(N, P // Q, 1, Q)
+
+
 def _fwd_call(img, x0i, y0i, wx, wy, *, precise, interpret):
     N, H, W = img.shape
     P = x0i.shape[1]
     nq = P // Q
     kernel = functools.partial(_fwd_kernel, H=H, W=W, precise=precise)
-    row_spec = pl.BlockSpec((1, Q), lambda n, j: (n, j), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, 1, 1, Q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
         grid=(N, nq),
@@ -155,11 +165,11 @@ def _fwd_call(img, x0i, y0i, wx, wy, *, precise, interpret):
             pl.BlockSpec((1, H, W), lambda n, j: (n, 0, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec,
         ],
-        out_specs=pl.BlockSpec((1, Q), lambda n, j: (n, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, P), jnp.float32),
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
         interpret=interpret,
-    )(img, x0i, y0i, wx, wy)
-    return out
+    )(img, _row4(x0i), _row4(y0i), _row4(wx), _row4(wy))
+    return out.reshape(N, P)
 
 
 def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret):
@@ -167,7 +177,9 @@ def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret):
     P = x0i.shape[1]
     nq = P // Q
     kernel = functools.partial(_bwd_kernel, H=H, W=W, precise=precise)
-    row_spec = pl.BlockSpec((1, Q), lambda n, j: (n, j), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, 1, 1, Q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
+    )
     img_spec = pl.BlockSpec((1, H, W), lambda n, j: (n, 0, 0), memory_space=pltpu.VMEM)
     dimg, du, dv = pl.pallas_call(
         kernel,
@@ -175,17 +187,17 @@ def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret):
         in_specs=[img_spec] + [row_spec] * 7,
         out_specs=(
             pl.BlockSpec((1, H, W), lambda n, j: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda n, j: (n, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda n, j: (n, j), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((N, P), jnp.float32),
-            jax.ShapeDtypeStruct((N, P), jnp.float32),
+            jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
         ),
         interpret=interpret,
-    )(img, x0i, y0i, wx, wy, iu, iv, g)
-    return dimg, du, dv
+    )(img, _row4(x0i), _row4(y0i), _row4(wx), _row4(wy), _row4(iu), _row4(iv), _row4(g))
+    return dimg, du.reshape(N, P), dv.reshape(N, P)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -50,6 +50,10 @@ class TrainConfig:
     # precision: params fp32; "bfloat16" computes the network in bf16
     compute_dtype: str = "float32"
 
+    # warp implementation: None = auto (Pallas kernel on TPU, gather on CPU);
+    # "gather" | "onehot" | "pallas" (see ops/grid_sample.py)
+    warp_method: Optional[str] = None
+
     # cadence (reference: log 50, save 500 — src/Monodepth.jl:149)
     log_every: int = 50
     save_every: int = 500

@@ -18,12 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import upsample_bilinear
-from ..ops.losses import (
-    apply_automask,
-    prediction_loss,
-    smooth_loss,
-    warp_images,
-)
+from ..ops.losses import photometric_loss
 from ..ops.geometry import compose_transform
 from .config import TrainConfig, TrainContext
 
@@ -77,42 +72,78 @@ def train_loss(
 
     width, height = cfg.target_size
     dtype = frames.dtype
-    total = jnp.zeros((), dtype)
     aux = {"stats": new_stats, "poses": poses}
 
-    n_scales = len(cfg.scales)
-    for i, (disparity, scale) in enumerate(zip(disparities, cfg.scales)):
-        if disparity.shape[1] != height or disparity.shape[2] != width:
-            disparity = upsample_bilinear(disparity, size=(height, width))
+    n, _, h, w, c = frames.shape
+    S = len(cfg.scales)
+    Src = len(cfg.source_ids)
+    hw = h * w
 
-        warped = warp_images(
-            disparity,
-            frames,
-            transforms,
-            ctx.K,
-            ctx.invK,
-            ctx.grid,
-            cfg.source_ids,
-            cfg.min_depth,
-            cfg.max_depth,
-        )
-        warp_loss = prediction_loss(warped, target)
-        if cfg.automasking and auto_loss is not None:
-            warp_loss = apply_automask(auto_loss, warp_loss)
+    # ---- batch ALL scales (upsampled to full res, reference
+    # src/training.jl:44-46) so the 4-scale × 2-source warp runs as ONE
+    # grid-sample kernel launch and one batched SSIM instead of 8 small ones.
+    disps_full = jnp.stack(
+        [
+            d if d.shape[1] == height and d.shape[2] == width
+            else upsample_bilinear(d, size=(height, width))
+            for d in disparities
+        ],
+        axis=0,
+    )  # (S, N, H, W, 1)
 
-        mean_disp = jnp.mean(disparity, axis=(1, 2), keepdims=True)
-        normalized = (disparity / (mean_disp + jnp.asarray(1e-7, dtype)))[..., 0]
-        disparity_loss = (
-            smooth_loss(normalized, target)
-            * jnp.asarray(cfg.disparity_smoothness, dtype)
-            * jnp.asarray(scale, dtype)
-        )
+    from ..ops.geometry import backproject, disparity_to_depth, project
+    from ..ops.grid_sample import grid_sample
 
-        total = total + jnp.mean(warp_loss) + disparity_loss
+    depth = disparity_to_depth(disps_full, cfg.min_depth, cfg.max_depth)
+    points = backproject(
+        depth.reshape(S * n, hw), ctx.invK, ctx.grid
+    )  # (S*N, HW, 3)
 
-        if i == n_scales - 1:
-            aux["disparity"] = disparity
-            aux["warped"] = warped
-            aux["warp_loss"] = warp_loss
+    # uv for every (scale, source): tile the per-source transform over scales
+    uvs = []
+    for R, t in transforms:
+        Rt = jnp.tile(R, (S, 1, 1))
+        tt = jnp.tile(t, (S, 1, 1))
+        uvs.append(project(points, ctx.K, Rt, tt, w, h))  # (S*N, HW, 2)
+    uv_all = jnp.concatenate(uvs, axis=0)  # (Src*S*N, HW, 2)
 
-    return total / n_scales, aux
+    src_imgs = jnp.concatenate(
+        [jnp.tile(frames[:, sid], (S, 1, 1, 1)) for sid in cfg.source_ids], axis=0
+    )  # (Src*S*N, H, W, C)
+
+    sampled = grid_sample(src_imgs, uv_all, method=cfg.warp_method)
+    warped_all = sampled.reshape(Src, S, n, h, w, c)
+
+    # batched photometric loss: fold (Src,S) into the batch for one SSIM pass
+    target_rep = jnp.broadcast_to(target, (Src * S, n, h, w, c)).reshape(
+        Src * S * n, h, w, c
+    )
+    photo = photometric_loss(
+        warped_all.reshape(Src * S * n, h, w, c), target_rep
+    ).reshape(Src, S, n, h, w, 1)
+    warp_loss = jnp.min(photo, axis=0)  # min over sources: (S, N, H, W, 1)
+    if cfg.automasking and auto_loss is not None:
+        warp_loss = jnp.minimum(auto_loss[None], warp_loss)
+
+    # edge-aware smoothness, batched over scales (reference src/utils.jl:159-173)
+    mean_disp = jnp.mean(disps_full, axis=(2, 3), keepdims=True)
+    nd = (disps_full / (mean_disp + jnp.asarray(1e-7, dtype)))[..., 0]  # (S,N,H,W)
+    dd_x = jnp.abs(nd[..., :-1] - nd[..., 1:])
+    dd_y = jnp.abs(nd[..., :-1, :] - nd[..., 1:, :])
+    di_x = jnp.exp(-jnp.mean(jnp.abs(target[:, :, :-1] - target[:, :, 1:]), axis=-1))
+    di_y = jnp.exp(-jnp.mean(jnp.abs(target[:, :-1] - target[:, 1:]), axis=-1))
+    smooth_per_scale = jnp.mean(dd_x * di_x[None], axis=(1, 2, 3)) + jnp.mean(
+        dd_y * di_y[None], axis=(1, 2, 3)
+    )  # (S,)
+
+    scale_w = jnp.asarray(cfg.scales, dtype)
+    per_scale = (
+        jnp.mean(warp_loss, axis=(1, 2, 3, 4))
+        + smooth_per_scale * jnp.asarray(cfg.disparity_smoothness, dtype) * scale_w
+    )
+    total = jnp.mean(per_scale)
+
+    aux["disparity"] = disps_full[-1]
+    aux["warped"] = [warped_all[s, -1] for s in range(Src)]
+    aux["warp_loss"] = warp_loss[-1]
+    return total, aux
