@@ -28,6 +28,9 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--width", type=int)
     p.add_argument("--height", type=int)
     p.add_argument("--automasking", action="store_true", default=None)
+    p.add_argument("--bf16", action="store_true", default=None,
+                   help="bfloat16 network compute (fp32 master params)")
+    p.add_argument("--debug-nans", action="store_true", default=None)
     p.add_argument("--log-dir")
     p.add_argument("--save-dir")
     p.add_argument("--seed", type=int)
@@ -50,10 +53,13 @@ def _build_config(args) -> "TrainConfig":
         ("log_dir", "log_dir"),
         ("save_dir", "save_dir"),
         ("seed", "seed"),
+        ("debug_nans", "debug_nans"),
     ]:
         v = getattr(args, attr, None)
         if v is not None:
             overrides[field] = v
+    if getattr(args, "bf16", None):
+        overrides["compute_dtype"] = "bfloat16"
     if getattr(args, "width", None) and getattr(args, "height", None):
         overrides["target_size"] = (args.width, args.height)
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
@@ -103,7 +109,7 @@ def cmd_train(args):
     if args.mesh > 1:
         mesh = make_mesh(args.mesh)
     state, _ = fit(cfg, dataset, mesh=mesh, resume=not args.no_resume,
-                   max_steps=args.max_steps)
+                   max_steps=args.max_steps, progress=args.progress)
     print(f"done at step {int(state.step)}")
 
 
@@ -179,6 +185,7 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", type=int, default=1, help="data-parallel devices")
     p.add_argument("--max-steps", type=int)
+    p.add_argument("--progress", action="store_true", help="live tqdm bar")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval-image", help="directory inference")

@@ -27,12 +27,17 @@ class Depth10k:
         image_files: Sequence[str],
         augmentations=None,
         grayscale: bool = False,
+        use_native: bool = True,
     ):
         self.dir = image_dir
         self.files = list(image_files)
         self.augmentations = augmentations
         self.grayscale = grayscale
         self.width, self.height = DTK_WIDTH, DTK_HEIGHT
+
+        from . import native as _native
+
+        self._native = _native if (use_native and _native.available()) else None
         self.K = np.asarray(
             [
                 [DTK_FOCAL, 0, DTK_WIDTH / 2.0],
@@ -50,13 +55,18 @@ class Depth10k:
 
     def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
         path = os.path.join(self.dir, self.files[i])
-        with Image.open(path) as im:
-            im = im.convert("L" if self.grayscale else "RGB")
-            strip = np.asarray(im, np.float32) / 255.0
-        if strip.ndim == 2:
-            strip = strip[..., None]
-        w = self.width
-        frames = [strip[:, j * w : (j + 1) * w] for j in range(3)]
+        c = 1 if self.grayscale else 3
+        if self._native is not None:
+            stacked = self._native.load_strip(path, self.width, self.height, 3, c)
+            frames = [stacked[j] for j in range(3)]
+        else:
+            with Image.open(path) as im:
+                im = im.convert("L" if self.grayscale else "RGB")
+                strip = np.asarray(im, np.float32) / 255.0
+            if strip.ndim == 2:
+                strip = strip[..., None]
+            w = self.width
+            frames = [strip[:, j * w : (j + 1) * w] for j in range(3)]
         if self.augmentations is not None:
             rng = rng or np.random.default_rng()
             frames = self.augmentations(frames, rng)

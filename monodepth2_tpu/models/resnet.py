@@ -26,10 +26,12 @@ Array = jax.Array
 STAGE_CHANNELS = {
     18: (64, 64, 128, 256, 512),
     34: (64, 64, 128, 256, 512),
+    50: (64, 256, 512, 1024, 2048),
 }
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
     34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
 }
 
 
@@ -84,6 +86,63 @@ class BasicBlock(Module):
 
 
 @dataclass(frozen=True)
+class Bottleneck(Module):
+    """1×1 reduce → 3×3 (strided) → 1×1 expand ×4, residual add, ReLU."""
+
+    in_ch: int
+    out_ch: int  # expanded (×4) output channels
+    stride: int = 1
+
+    @property
+    def has_projection(self) -> bool:
+        return self.stride != 1 or self.in_ch != self.out_ch
+
+    def _parts(self):
+        mid = self.out_ch // 4
+        parts = {
+            "conv1": Conv(self.in_ch, mid, 1, 1, 0, use_bias=False),
+            "bn1": BatchNorm(mid),
+            "conv2": Conv(mid, mid, 3, self.stride, 1, use_bias=False),
+            "bn2": BatchNorm(mid),
+            "conv3": Conv(mid, self.out_ch, 1, 1, 0, use_bias=False),
+            "bn3": BatchNorm(self.out_ch),
+        }
+        if self.has_projection:
+            parts["proj"] = Conv(self.in_ch, self.out_ch, 1, self.stride, 0, use_bias=False)
+            parts["proj_bn"] = BatchNorm(self.out_ch)
+        return parts
+
+    def init(self, key):
+        params, stats = {}, {}
+        parts = self._parts()
+        keys = jax.random.split(key, len(parts))
+        for k, (name, layer) in zip(keys, parts.items()):
+            p, s = layer.init(k)
+            params[name], stats[name] = p, s
+        return params, stats
+
+    def __call__(self, params, stats, x, train: bool = False):
+        parts = self._parts()
+        new_stats = dict(stats)
+        y, _ = parts["conv1"](params["conv1"], {}, x)
+        y, new_stats["bn1"] = parts["bn1"](params["bn1"], stats["bn1"], y, train=train)
+        y = jax.nn.relu(y)
+        y, _ = parts["conv2"](params["conv2"], {}, y)
+        y, new_stats["bn2"] = parts["bn2"](params["bn2"], stats["bn2"], y, train=train)
+        y = jax.nn.relu(y)
+        y, _ = parts["conv3"](params["conv3"], {}, y)
+        y, new_stats["bn3"] = parts["bn3"](params["bn3"], stats["bn3"], y, train=train)
+        if self.has_projection:
+            sc, _ = parts["proj"](params["proj"], {}, x)
+            sc, new_stats["proj_bn"] = parts["proj_bn"](
+                params["proj_bn"], stats["proj_bn"], sc, train=train
+            )
+        else:
+            sc = x
+        return jax.nn.relu(y + sc), new_stats
+
+
+@dataclass(frozen=True)
 class ResNetEncoder(Module):
     """ResNet backbone; __call__ returns the 5 stage outputs, coarse last.
 
@@ -102,12 +161,13 @@ class ResNetEncoder(Module):
         blocks = []
         chans = STAGE_CHANNELS[self.depth]
         counts = STAGE_BLOCKS[self.depth]
+        block_cls = Bottleneck if self.depth >= 50 else BasicBlock
         in_ch = chans[0]
         for stage_i, (out_ch, n) in enumerate(zip(chans[1:], counts)):
             stride = 1 if stage_i == 0 else 2
             stage = []
             for b in range(n):
-                stage.append(BasicBlock(in_ch, out_ch, stride if b == 0 else 1))
+                stage.append(block_cls(in_ch, out_ch, stride if b == 0 else 1))
                 in_ch = out_ch
             blocks.append(stage)
         return blocks

@@ -54,6 +54,10 @@ class TrainConfig:
     # "gather" | "onehot" | "pallas" (see ops/grid_sample.py)
     warp_method: Optional[str] = None
 
+    # debug tripwire (SURVEY.md §5: the analog of CUDA.allowscalar(false)):
+    # abort the step on any NaN in the computation
+    debug_nans: bool = False
+
     # cadence (reference: log 50, save 500 — src/Monodepth.jl:149)
     log_every: int = 50
     save_every: int = 500

@@ -34,6 +34,7 @@ def fit(
     resume: bool = True,
     verbose: bool = True,
     max_steps: Optional[int] = None,
+    progress: bool = False,
 ):
     """Train on `dataset` (items (3,H,W,C)); returns the final TrainState.
 
@@ -67,6 +68,9 @@ def fit(
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.save_dir, exist_ok=True)
 
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     timer = StepTimer()
     loader = DataLoader(
         dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
@@ -77,6 +81,15 @@ def fit(
         if done:
             break
         batches = device_prefetch(iter(loader), size=2, dtype=jnp.float32)
+        if progress:
+            # live loss/throughput bar (reference: ProgressMeter at
+            # src/Monodepth.jl:154,196)
+            from tqdm import tqdm
+
+            batches = tqdm(
+                batches, total=steps_per_epoch,
+                desc=f"epoch {epoch + 1}/{cfg.epochs}", leave=False,
+            )
         for i, batch in enumerate(batches):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
@@ -87,7 +100,9 @@ def fit(
             if cfg.log_every and global_step % cfg.log_every == 0:
                 loss = float(metrics["loss"])
                 ips = timer.images_per_sec(cfg.batch_size)
-                if verbose:
+                if progress and hasattr(batches, "set_postfix"):
+                    batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
+                if verbose and not progress:
                     print(
                         f"epoch {epoch + 1}/{cfg.epochs} step {global_step} "
                         f"loss {loss:.5f} {ips:.1f} img/s"

@@ -1,0 +1,116 @@
+"""Eval harness, depth metrics, and visualization tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from monodepth2_tpu.models import Model, ResNetEncoder
+from monodepth2_tpu.training import TrainConfig, create_train_state
+from monodepth2_tpu.training.checkpoint import save_checkpoint
+from monodepth2_tpu.utils.metrics import depth_metrics
+from monodepth2_tpu.utils.viz import colorize_disparity, save_disparity, save_warped
+
+
+def test_depth_metrics_perfect_prediction():
+    gt = np.random.default_rng(0).uniform(1.0, 50.0, (32, 32))
+    m = depth_metrics(gt, gt)
+    assert m["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+    assert m["a1"] == 1.0
+    assert m["rmse"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_depth_metrics_median_scaling():
+    gt = np.random.default_rng(1).uniform(1.0, 50.0, (32, 32))
+    m = depth_metrics(gt * 0.1, gt)  # scale-ambiguous prediction
+    assert m["abs_rel"] == pytest.approx(0.0, abs=1e-9)
+    assert m["scale"] == pytest.approx(10.0, rel=1e-6)
+    m2 = depth_metrics(gt * 0.1, gt, median_scaling=False)
+    assert m2["abs_rel"] > 0.5
+
+
+def test_depth_metrics_invalid_gt_masked():
+    gt = np.zeros((8, 8))
+    gt[0, 0] = 10.0
+    pred = np.full((8, 8), 10.0)
+    m = depth_metrics(pred, gt)
+    assert m["a1"] == 1.0  # only the valid pixel counts
+
+
+def test_colorize_and_save(tmp_path):
+    disp = np.random.default_rng(2).uniform(size=(16, 24))
+    rgb = colorize_disparity(disp)
+    assert rgb.shape == (16, 24, 3) and rgb.dtype == np.uint8
+    p1 = str(tmp_path / "d.png")
+    save_disparity(disp, p1)
+    assert Image.open(p1).size == (24, 16)
+    # constant disparity must not divide by zero
+    save_disparity(np.ones((8, 8)), str(tmp_path / "const.png"))
+    p2 = str(tmp_path / "w.png")
+    save_warped(np.random.default_rng(3).uniform(size=(16, 24, 1)), p2)
+    assert Image.open(p2).size == (24, 16)
+
+
+def test_eval_images_end_to_end(tmp_path):
+    from monodepth2_tpu.eval import eval_images
+
+    cfg = TrainConfig(target_size=(64, 32), batch_size=2)
+    model = Model.create(in_channels=1)
+    state, _ = create_train_state(model, cfg)
+    ckpt = str(tmp_path / "ckpt-1")
+    save_checkpoint(ckpt, state)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        Image.fromarray(
+            (rng.uniform(size=(32, 64)) * 255).astype(np.uint8), "L"
+        ).save(img_dir / f"{i:06d}.png")
+
+    out_dir = str(tmp_path / "out")
+    n = eval_images(cfg, ckpt, str(img_dir), out_dir, batch_size=2)
+    assert n == 3
+    assert sorted(os.listdir(out_dir)) == ["d-0.png", "d-1.png", "d-2.png"]
+
+
+def test_eval_depth_accuracy(tmp_path):
+    from monodepth2_tpu.eval import eval_depth_accuracy
+
+    cfg = TrainConfig(target_size=(64, 32), batch_size=2)
+    model = Model.create(in_channels=1)
+    state, _ = create_train_state(model, cfg)
+    ckpt = str(tmp_path / "ckpt-1")
+    save_checkpoint(ckpt, state)
+
+    rng = np.random.default_rng(5)
+    images = [rng.uniform(size=(32, 64, 1)).astype(np.float32) for _ in range(2)]
+    gts = [rng.uniform(1.0, 60.0, (48, 96)) for _ in range(2)]
+    m = eval_depth_accuracy(cfg, ckpt, images, gts)
+    for k in ("abs_rel", "a1", "rmse"):
+        assert np.isfinite(m[k])
+
+
+def test_resnet50_stage_shapes():
+    enc = ResNetEncoder(depth=50, in_channels=3)
+    params, stats = enc.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    feats, _ = enc(params, stats, x)
+    assert enc.stages == (64, 256, 512, 1024, 2048)
+    assert [f.shape[-1] for f in feats] == [64, 256, 512, 1024, 2048]
+    assert feats[-1].shape == (1, 2, 3, 2048)
+
+
+def test_resnet50_model_forward():
+    import jax.numpy as jnp
+
+    model = Model.create(depth=50, in_channels=1)
+    params, stats = model.init(jax.random.PRNGKey(1))
+    frames = jnp.zeros((1, 3, 32, 64, 1), jnp.float32)
+    disps, poses, _ = model(params, stats, frames, (0, 2), 1)
+    assert disps[-1].shape == (1, 32, 64, 1)
+    assert poses[0][0].shape == (1, 3)
