@@ -157,6 +157,73 @@ def cmd_simple_depth(args):
     print("final loss:", res["history"][-1][1])
 
 
+def cmd_eval_depth(args):
+    """AbsRel/delta accuracy against ground-truth depth maps.
+
+    --gt is a .npz with arrays `images` (N,H,W[,C]) float in [0,1] and
+    `depths` (N,h,w) metric; or pass --synthetic to score against the
+    built-in ground-plane scenes (no external data needed)."""
+    import numpy as np
+
+    from .eval import eval_depth_accuracy
+
+    cfg = _build_config(args)
+    if args.synthetic:
+        from .data.synthetic import SyntheticGroundPlane
+
+        ds = SyntheticGroundPlane(n=args.limit or 8, target_size=cfg.target_size)
+        images = [ds[i][1] for i in range(len(ds))]
+        gts = [ds.gt_depth] * len(ds)
+    else:
+        data = np.load(args.gt)
+        images = [
+            x if x.ndim == 3 else x[..., None] for x in data["images"]
+        ]
+        gts = list(data["depths"])
+        if args.limit:
+            images, gts = images[: args.limit], gts[: args.limit]
+    m = eval_depth_accuracy(cfg, args.checkpoint, images, gts)
+    print(json.dumps(m, indent=2))
+
+
+def cmd_profile(args):
+    """Capture an XLA profiler trace of the train step (TensorBoard/Perfetto).
+
+    The reference has no profiler at all (SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import Model
+    from .training import TrainContext, create_train_state, make_train_step
+    from .utils.profiler import trace
+
+    cfg = _build_config(args)
+    model = Model.create(
+        depth=cfg.encoder_depth, in_channels=cfg.in_channels,
+        scale_levels=cfg.scale_levels,
+    )
+    state, tx = create_train_state(model, cfg)
+    K = np.asarray(
+        [[482.0, 0, cfg.width / 2], [0, 482.0, cfg.height / 2], [0, 0, 1.0]]
+    )
+    ctx = TrainContext.create(K, cfg.width, cfg.height)
+    step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
+    batch = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            size=(cfg.batch_size, 3, cfg.height, cfg.width, cfg.in_channels)
+        ),
+        jnp.float32,
+    )
+    state, m, _ = step(state, batch)  # compile outside the trace
+    _ = float(m["loss"])
+    with trace(args.out):
+        for _i in range(args.steps):
+            state, m, _ = step(state, batch)
+        _ = float(m["loss"])
+    print(f"trace written to {args.out}")
+
+
 def cmd_refine_dtk(args):
     from .data import Depth10k, find_static
 
@@ -211,6 +278,21 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--out", default="simple_depth_out")
     p.set_defaults(fn=cmd_simple_depth)
+
+    p = sub.add_parser("eval-depth", help="AbsRel/delta accuracy evaluation")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--gt", help=".npz with images + depths arrays")
+    p.add_argument("--synthetic", action="store_true",
+                   help="score against built-in ground-plane scenes")
+    p.add_argument("--limit", type=int)
+    p.set_defaults(fn=cmd_eval_depth)
+
+    p = sub.add_parser("profile", help="capture an XLA trace of the train step")
+    _add_config_args(p)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--out", default="profile_trace")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("refine-dtk", help="filter static Depth10k triplets")
     p.add_argument("--root", required=True)

@@ -139,3 +139,33 @@ def test_synthetic_dataset_deterministic():
     ds = SyntheticTriplets(n=4, target_size=(32, 16))
     np.testing.assert_array_equal(ds[2], ds[2])
     assert ds[0].shape == (3, 16, 32, 1)
+
+
+def test_ground_plane_geometry():
+    """Rendered triplets must be consistent with the exposed GT depth:
+    warping sources with the true depth/pose beats identity by >3x."""
+    import jax.numpy as jnp
+
+    from monodepth2_tpu.data.synthetic import SyntheticGroundPlane
+    from monodepth2_tpu.ops import pixel_grid, warp_images
+
+    ds = SyntheticGroundPlane(n=1, target_size=(96, 64), tx=0.15)
+    assert ds.gt_depth.shape == (64, 96)
+    x = jnp.asarray(ds[0][None])
+    h, w = 64, 96
+    K = jnp.asarray(ds.K, jnp.float32)
+    invK = jnp.asarray(ds.invK, jnp.float32)
+    grid = pixel_grid(w, h)
+    gt = jnp.asarray(ds.gt_depth)
+    disp = ((1.0 / gt - 0.01) / (10.0 - 0.01)).reshape(1, h, w, 1).astype(jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (1, 3, 3))
+    t_prev = jnp.asarray([[[-0.15], [0.0], [0.0]]], jnp.float32)
+    t_next = jnp.asarray([[[0.15], [0.0], [0.0]]], jnp.float32)
+    warped = warp_images(
+        disp, x, [(R, t_prev), (R, t_next)], K, invK, grid, (0, 2), 0.1, 100.0
+    )
+    tgt = x[:, 1]
+    id_err = float(jnp.mean(jnp.abs(x[:, 0] - tgt)))
+    for wimg in warped:
+        warp_err = float(jnp.mean(jnp.abs(wimg - tgt)))
+        assert warp_err < id_err / 3.0
