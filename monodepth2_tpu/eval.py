@@ -110,15 +110,32 @@ def eval_video(
     limit: Optional[int] = None,
 ) -> int:
     """Video stream -> disparity heatmap PNGs (reference eval_video,
-    src/Monodepth.jl:229-248), batched through imageio-ffmpeg."""
-    import imageio.v3 as iio
-
+    src/Monodepth.jl:229-248), batched; decodes via OpenCV (imageio-ffmpeg
+    fallback when available)."""
     model, params, stats = load_model(cfg, checkpoint_path)
     infer = make_infer_fn(model, params, stats)
     os.makedirs(out_dir, exist_ok=True)
 
+    def raw_frames():
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(video_path)
+            try:
+                while True:
+                    ok, bgr = cap.read()
+                    if not ok:
+                        return
+                    yield bgr[..., ::-1]  # BGR -> RGB
+            finally:
+                cap.release()
+        except ImportError:
+            import imageio.v3 as iio
+
+            yield from iio.imiter(video_path)
+
     def frames():
-        for i, frame in enumerate(iio.imiter(video_path)):
+        for i, frame in enumerate(raw_frames()):
             if limit and i >= limit:
                 return
             im = Image.fromarray(frame).convert("L" if cfg.in_channels == 1 else "RGB")

@@ -58,6 +58,9 @@ class TrainConfig:
     # abort the step on any NaN in the computation
     debug_nans: bool = False
 
+    # rematerialize the network in the backward pass (memory for FLOPs)
+    remat: bool = False
+
     # cadence (reference: log 50, save 500 — src/Monodepth.jl:149)
     log_every: int = 50
     save_every: int = 500
@@ -65,6 +68,15 @@ class TrainConfig:
     # io
     log_dir: str = "logs"
     save_dir: str = "models"
+
+    def __post_init__(self):
+        w, h = self.target_size
+        if w % 32 or h % 32:
+            raise ValueError(
+                f"target_size {self.target_size} must be divisible by 32 "
+                "(the encoder downsamples 5x by 2 and the decoder upsamples "
+                "back; odd intermediate sizes break the skip concatenation)"
+            )
 
     @property
     def scales(self) -> Tuple[float, ...]:

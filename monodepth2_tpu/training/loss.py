@@ -41,15 +41,23 @@ def train_loss(
     loss (for viz/debug — reference returns the same trio) and new BN stats.
     """
     target = frames[:, cfg.target_id]
+
+    def model_fn(p, s, f):
+        return model(p, s, f, cfg.source_ids, cfg.target_id, train=train)
+
+    if cfg.remat:
+        # rematerialize the network in the backward pass: trades FLOPs for
+        # HBM, enabling larger batches/resolutions (SURVEY.md TPU notes)
+        model_fn = jax.checkpoint(model_fn)
+
     if cfg.compute_dtype == "bfloat16":
         # mixed precision: network in bf16 on the MXU, geometry/loss in fp32.
         # Master params stay fp32 (the cast is linear, so gradients flow to
         # the fp32 leaves automatically).
         bf16 = jnp.bfloat16
         cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
-        disparities, poses, new_stats = model(
-            cast(params), cast(stats), frames.astype(bf16),
-            cfg.source_ids, cfg.target_id, train=train,
+        disparities, poses, new_stats = model_fn(
+            cast(params), cast(stats), frames.astype(bf16)
         )
         disparities = [d.astype(frames.dtype) for d in disparities]
         poses = [
@@ -59,9 +67,7 @@ def train_loss(
             lambda x: x.astype(jnp.float32), new_stats
         )
     else:
-        disparities, poses, new_stats = model(
-            params, stats, frames, cfg.source_ids, cfg.target_id, train=train
-        )
+        disparities, poses, new_stats = model_fn(params, stats, frames)
 
     # target→source rigid transforms; sources before the target use the
     # inverted transform (reference src/training.jl:29-32)

@@ -114,3 +114,26 @@ def test_resnet50_model_forward():
     disps, poses, _ = model(params, stats, frames, (0, 2), 1)
     assert disps[-1].shape == (1, 32, 64, 1)
     assert poses[0][0].shape == (1, 3)
+
+
+def test_eval_video_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from monodepth2_tpu.eval import eval_video
+
+    vid = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 32))
+    rng = np.random.default_rng(6)
+    for _ in range(5):
+        w.write((rng.uniform(size=(32, 64, 3)) * 255).astype(np.uint8))
+    w.release()
+
+    cfg = TrainConfig(target_size=(64, 32), batch_size=2)
+    model = Model.create(in_channels=1)
+    state, _ = create_train_state(model, cfg)
+    ckpt = str(tmp_path / "ckpt-1")
+    save_checkpoint(ckpt, state)
+
+    out = str(tmp_path / "vout")
+    n = eval_video(cfg, ckpt, vid, out, batch_size=2, limit=4)
+    assert n == 4
+    assert len(os.listdir(out)) == 4
