@@ -12,7 +12,7 @@ axis; disparity (N, H, W, 1).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +86,7 @@ def warp_images(
     source_ids: Sequence[int],
     min_depth: float,
     max_depth: float,
-    method: str = None,
+    method: Optional[str] = None,
 ) -> list:
     """Warp each source frame into the target view through predicted depth.
 

@@ -61,7 +61,7 @@ def make_parallel_train_step(
 
 
 def make_shardmap_train_step(
-    model, tx, ctx: TrainConfig, cfg: TrainConfig, mesh: Mesh, axis: str = "data",
+    model, tx, ctx: TrainContext, cfg: TrainConfig, mesh: Mesh, axis: str = "data",
 ) -> Callable:
     """Explicit-collective step via shard_map + lax.pmean."""
     if cfg.batch_size % mesh.size != 0:

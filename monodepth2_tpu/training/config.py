@@ -46,6 +46,12 @@ class TrainConfig:
     lr: float = 1e-4
     epochs: int = 20
     seed: int = 42
+    # stabilizers the reference lacks: global-norm gradient clipping (0 =
+    # off) and linear lr warmup steps — both guard the pose head against
+    # overshooting its narrow photometric basin early in training (see
+    # VALIDATION.md)
+    grad_clip: float = 0.0
+    lr_warmup_steps: int = 0
 
     # precision: params fp32; "bfloat16" computes the network in bf16
     compute_dtype: str = "float32"

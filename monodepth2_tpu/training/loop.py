@@ -97,6 +97,17 @@ def fit(
             timer.tick()
             global_step = int(state.step)
 
+            # retrace tripwire (SURVEY.md §5: perf-bug guard analog of
+            # CUDA.allowscalar(false)) — a growing jit cache means changing
+            # batch shapes/dtypes are forcing recompiles every step
+            if global_step == 2 or global_step % 100 == 0:
+                n_traces = getattr(step, "_cache_size", lambda: 1)()
+                if n_traces > 2:
+                    print(
+                        f"WARNING: train step retraced {n_traces}x — check for "
+                        "varying batch shapes/dtypes in the input pipeline"
+                    )
+
             if cfg.log_every and global_step % cfg.log_every == 0:
                 loss = float(metrics["loss"])
                 ips = timer.images_per_sec(cfg.batch_size)

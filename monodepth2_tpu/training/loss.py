@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import upsample_bilinear
+from ..ops.geometry import backproject, compose_transform, disparity_to_depth, project
+from ..ops.grid_sample import grid_sample
 from ..ops.losses import photometric_loss
-from ..ops.geometry import compose_transform
 from .config import TrainConfig, TrainContext
 
 Array = jax.Array
@@ -96,9 +97,6 @@ def train_loss(
         ],
         axis=0,
     )  # (S, N, H, W, 1)
-
-    from ..ops.geometry import backproject, disparity_to_depth, project
-    from ..ops.grid_sample import grid_sample
 
     depth = disparity_to_depth(disps_full, cfg.min_depth, cfg.max_depth)
     points = backproject(

@@ -35,7 +35,15 @@ def create_train_state(model, cfg: TrainConfig, rng: Optional[Array] = None):
         rng = jax.random.PRNGKey(cfg.seed)
     rng, init_key = jax.random.split(rng)
     params, stats = model.init(init_key)
-    tx = optax.adam(cfg.lr)
+    if cfg.lr_warmup_steps > 0:
+        schedule = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps)
+    else:
+        schedule = cfg.lr
+    chain = []
+    if cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(optax.adam(schedule))
+    tx = optax.chain(*chain)
     opt_state = tx.init(params)
     return (
         TrainState(
