@@ -148,3 +148,69 @@ class SyntheticGroundPlane:
         prev = render(+1.0)   # camera moved -tx: scene appears shifted +
         nxt = render(-1.0)
         return np.stack([prev, target, nxt], axis=0).astype(np.float32)
+
+
+class SyntheticBlocks(SyntheticGroundPlane):
+    """Richer scenes: the ground-plane world plus floating textured blocks at
+    random depths, rendered with PER-PIXEL parallax and high-frequency
+    texture — a harder, more KITTI-like benchmark than the row-constant
+    `SyntheticGroundPlane` (whose weak texture admits degenerate SSL optima,
+    see VALIDATION.md). Per-scene `gt_depth_for(i)` exposes the depth map.
+    """
+
+    def __init__(self, n: int = 64, target_size: Tuple[int, int] = (416, 128),
+                 channels: int = 1, tx: float = 0.15, n_blocks: int = 6,
+                 seed: int = 0, **kw):
+        super().__init__(n=n, target_size=target_size, channels=channels,
+                         tx=tx, seed=seed, **kw)
+        self.n_blocks = n_blocks
+
+    def gt_depth_for(self, i: int) -> np.ndarray:
+        g = np.random.default_rng(self.seed * 77003 + i)
+        depth = self.gt_depth.copy()
+        h, w = depth.shape
+        for _ in range(self.n_blocks):
+            bw = int(g.uniform(0.08, 0.25) * w)
+            bh = int(g.uniform(0.15, 0.5) * h)
+            x0 = g.integers(0, w - bw)
+            y0 = g.integers(0, h - bh)
+            d = g.uniform(4.0, 25.0)
+            # blocks occlude only what is behind them
+            region = depth[y0 : y0 + bh, x0 : x0 + bw]
+            depth[y0 : y0 + bh, x0 : x0 + bw] = np.minimum(region, d)
+        return depth
+
+    def _texture(self, i: int):
+        g = np.random.default_rng(self.seed * 99991 + i)
+        h, w, c = self.height, self.width, self.channels
+        pad = 64
+        low = g.uniform(size=(h, w + 2 * pad, c)).astype(np.float32)
+        for _ in range(2):
+            for axis in (0, 1):
+                low = (low + np.roll(low, 1, axis) + np.roll(low, -1, axis)) / 3.0
+        high = g.uniform(size=(h, w + 2 * pad, c)).astype(np.float32)
+        tex = 0.7 * low + 0.3 * high  # keep high-frequency energy
+        tex -= tex.min()
+        tex /= max(tex.max(), 1e-6)
+        return tex, pad
+
+    def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
+        tex, pad = self._texture(i)
+        h, w = self.height, self.width
+        fx = self.K[0, 0]
+        depth = self.gt_depth_for(i)
+        target = tex[:, pad : pad + w]
+        shift = fx * self.tx / depth  # (H, W) per-pixel parallax
+        xs = np.arange(w, dtype=np.float64)[None, :] + pad
+        rows = np.arange(h)[:, None]
+
+        def render(sign: float) -> np.ndarray:
+            u = np.clip(xs + sign * shift, 0, tex.shape[1] - 1)
+            x0 = np.floor(u).astype(np.int64)
+            x1 = np.minimum(x0 + 1, tex.shape[1] - 1)
+            wu = (u - x0).astype(np.float32)[..., None]
+            return tex[rows, x0] * (1 - wu) + tex[rows, x1] * wu
+
+        prev = render(+1.0)
+        nxt = render(-1.0)
+        return np.stack([prev, target, nxt], axis=0).astype(np.float32)

@@ -96,7 +96,9 @@ def make_train_step(
             opt_state=new_opt_state,
             rng=jax.random.fold_in(state.rng, state.step),
         )
-        metrics = {"loss": loss}
+        # mean disparity is the saturation tripwire: pinned at ~0 or ~1 means
+        # the sigmoid head collapsed to max/min depth (see VALIDATION.md)
+        metrics = {"loss": loss, "mean_disparity": jnp.mean(aux["disparity"])}
         return new_state, metrics, aux
 
     return step_fn
