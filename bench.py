@@ -48,15 +48,18 @@ def main():
         rng.uniform(size=(cfg.batch_size, 3, cfg.height, cfg.width, 1)), jnp.float32
     )
 
-    # warmup/compile
+    # warmup/compile; float() forces a real host read through the tunnel
     state, metrics, _ = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
+    # steps chain through the donated state, so the final loss depends on
+    # every step; float() is the honest sync (block_until_ready can return
+    # before the remote device is actually done — see CLAUDE.md)
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics, _ = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
 
     ips = cfg.batch_size / dt

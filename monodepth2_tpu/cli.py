@@ -66,12 +66,24 @@ def _build_config(args) -> "TrainConfig":
 
 
 def _build_dataset(args, cfg):
-    from .data import DChain, Depth10k, FlipX, KittiDataset, SyntheticTriplets
+    from .data import (
+        DChain,
+        Depth10k,
+        FlipX,
+        KittiDataset,
+        SyntheticDriving,
+        SyntheticTriplets,
+    )
 
     aug = FlipX(0.5) if not args.no_augment else None
     if args.data == "synthetic":
         return SyntheticTriplets(
             n=args.synthetic_n, target_size=cfg.target_size, channels=cfg.in_channels
+        )
+    if args.data == "driving":
+        return SyntheticDriving(
+            n=args.synthetic_n, target_size=cfg.target_size,
+            channels=cfg.in_channels, seed=cfg.seed,
         )
     if args.data == "kitti":
         seqs = args.sequences.split(",") if args.sequences else [
@@ -243,7 +255,11 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="self-supervised training")
     _add_config_args(p)
-    p.add_argument("--data", choices=["kitti", "dtk", "synthetic"], default="synthetic")
+    p.add_argument(
+        "--data",
+        choices=["kitti", "dtk", "synthetic", "driving"],
+        default="synthetic",
+    )
     p.add_argument("--root", help="dataset root dir")
     p.add_argument("--sequences", help="comma-separated KITTI sequences (default all 22)")
     p.add_argument("--files", help="Depth10k file-list path")

@@ -14,7 +14,7 @@ from .depth10k import Depth10k, find_static
 from .dchain import DChain
 from .augment import FlipX
 from .loader import DataLoader, device_prefetch
-from .synthetic import SyntheticTriplets
+from .synthetic import SyntheticDriving, SyntheticTriplets
 
 __all__ = [
     "KittiDataset",
@@ -24,5 +24,6 @@ __all__ = [
     "FlipX",
     "DataLoader",
     "device_prefetch",
+    "SyntheticDriving",
     "SyntheticTriplets",
 ]

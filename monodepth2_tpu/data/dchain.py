@@ -11,11 +11,20 @@ import numpy as np
 
 
 class DChain:
+    """Concat dataset. Carries the FIRST child's intrinsics/frame layout so a
+    chain can feed fit() directly — the reference likewise trains the whole
+    chain with `dataset.datasets[1].K` (src/Monodepth.jl:99,110-115), even
+    though per-sequence KITTI calibrations differ slightly."""
+
     def __init__(self, datasets: Sequence):
         if not datasets:
             raise ValueError("DChain needs at least one dataset")
         self.datasets = list(datasets)
         self.bins = np.cumsum([len(d) for d in self.datasets]).tolist()
+        first = self.datasets[0]
+        for attr in ("K", "invK", "target_id", "source_ids", "width", "height"):
+            if hasattr(first, attr):
+                setattr(self, attr, getattr(first, attr))
 
     def __len__(self) -> int:
         return self.bins[-1]

@@ -28,20 +28,30 @@ class Depth10k:
         augmentations=None,
         grayscale: bool = False,
         use_native: bool = True,
+        target_size: Optional[Tuple[int, int]] = None,
     ):
+        """target_size (width, height) resizes each frame AFTER the strip
+        split; the focal is rescaled by the mean target/native ratio with the
+        principal point recentered (same convention as KittiDataset /
+        src/kitty.jl:27-29). None keeps the native 416×128 (the reference's
+        only mode, src/dtk.jl:16-22)."""
         self.dir = image_dir
         self.files = list(image_files)
         self.augmentations = augmentations
         self.grayscale = grayscale
-        self.width, self.height = DTK_WIDTH, DTK_HEIGHT
+        self.width, self.height = target_size or (DTK_WIDTH, DTK_HEIGHT)
 
         from . import native as _native
 
         self._native = _native if (use_native and _native.available()) else None
+        ratio = float(
+            np.mean([self.width / DTK_WIDTH, self.height / DTK_HEIGHT])
+        )
+        f = DTK_FOCAL * ratio
         self.K = np.asarray(
             [
-                [DTK_FOCAL, 0, DTK_WIDTH / 2.0],
-                [0, DTK_FOCAL, DTK_HEIGHT / 2.0],
+                [f, 0, self.width / 2.0],
+                [0, f, self.height / 2.0],
                 [0, 0, 1.0],
             ],
             np.float64,
@@ -57,7 +67,7 @@ class Depth10k:
         path = os.path.join(self.dir, self.files[i])
         c = 1 if self.grayscale else 3
         if self._native is not None:
-            stacked = self._native.load_strip(path, self.width, self.height, 3, c)
+            stacked = self._native.load_strip(path, DTK_WIDTH, DTK_HEIGHT, 3, c)
             frames = [stacked[j] for j in range(3)]
         else:
             with Image.open(path) as im:
@@ -65,8 +75,13 @@ class Depth10k:
                 strip = np.asarray(im, np.float32) / 255.0
             if strip.ndim == 2:
                 strip = strip[..., None]
-            w = self.width
-            frames = [strip[:, j * w : (j + 1) * w] for j in range(3)]
+            frames = [
+                strip[:, j * DTK_WIDTH : (j + 1) * DTK_WIDTH] for j in range(3)
+            ]
+        if (self.width, self.height) != (DTK_WIDTH, DTK_HEIGHT):
+            from .augment import resize_bilinear
+
+            frames = [resize_bilinear(f, self.width, self.height) for f in frames]
         if self.augmentations is not None:
             rng = rng or np.random.default_rng()
             frames = self.augmentations(frames, rng)

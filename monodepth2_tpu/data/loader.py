@@ -45,6 +45,11 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        # one-shot batch skip for mid-epoch resume (consumed by the next
+        # __iter__): the shuffle order is a pure function of (seed, epoch), so
+        # skipping the first k index-batches reproduces the exact data order a
+        # crashed run would have seen
+        self.skip_next = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -59,14 +64,19 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + 1000003 * self.epoch)
             rng.shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for start in range(0, stop, self.batch_size):
+        skip, self.skip_next = self.skip_next, 0
+        for start in range(skip * self.batch_size, stop, self.batch_size):
             yield order[start : start + self.batch_size]
 
     def __iter__(self) -> Iterator[np.ndarray]:
         self.epoch += 1
-        rng = np.random.default_rng(self.seed * 7 + self.epoch)
+        epoch = self.epoch
 
         def load_one(idx: int) -> np.ndarray:
+            # per-item generator: thread-safe under the worker pool AND
+            # reproducible independent of num_workers (a single shared
+            # Generator is neither — numpy Generators are not thread-safe)
+            rng = np.random.default_rng([self.seed, epoch, int(idx)])
             try:
                 return self.dataset.__getitem__(int(idx), rng)
             except TypeError:

@@ -83,7 +83,11 @@ def eval_images(
     Returns the number of frames processed."""
     model, params, stats = load_model(cfg, checkpoint_path)
     infer = make_infer_fn(model, params, stats)
-    files = sorted(f for f in os.listdir(image_dir) if f.endswith((".png", ".jpg")))
+    files = sorted(
+        f
+        for f in os.listdir(image_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
     if limit:
         files = files[:limit]
     os.makedirs(out_dir, exist_ok=True)

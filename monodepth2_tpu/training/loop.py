@@ -19,7 +19,7 @@ import numpy as np
 from ..data import DataLoader, device_prefetch
 from ..models import Model
 from ..parallel import make_mesh, make_parallel_train_step, shard_batch
-from ..utils.profiler import StepTimer
+from ..utils.profiler import StepTimer, jit_trace_count
 from ..utils.viz import save_disparity, save_warped
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .config import TrainConfig, TrainContext
@@ -42,8 +42,28 @@ def fit(
     parallelism with the global batch sharded over it.
     """
     if K is None:
-        K = dataset.K
+        K = getattr(dataset, "K", None)
+        if K is None:
+            raise ValueError(
+                "fit() needs camera intrinsics: pass K= or use a dataset "
+                "exposing .K (KittiDataset/Depth10k/DChain all do)"
+            )
     ctx = TrainContext.create(np.asarray(K), cfg.width, cfg.height)
+
+    # frame-layout consistency (the reference hard-codes target 2 / sources
+    # [1,3] in both TrainCache and the datasets; here both sides are
+    # configurable, so mismatches must be caught, not trained through)
+    ds_target = getattr(dataset, "target_id", None)
+    ds_sources = getattr(dataset, "source_ids", None)
+    if ds_target is not None and ds_target != cfg.target_id:
+        raise ValueError(
+            f"dataset target_id {ds_target} != cfg.target_id {cfg.target_id}"
+        )
+    if ds_sources is not None and tuple(ds_sources) != tuple(cfg.source_ids):
+        raise ValueError(
+            f"dataset source_ids {tuple(ds_sources)} != cfg.source_ids "
+            f"{tuple(cfg.source_ids)}"
+        )
 
     model = Model.create(
         depth=cfg.encoder_depth,
@@ -76,6 +96,16 @@ def fit(
         dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
     )
     steps_per_epoch = len(loader)
+    # epoch-position resume: the shuffle is a pure function of (seed, epoch)
+    # and step counts batches, so (epoch, batch cursor) is recoverable from
+    # step alone — no epoch is retrained and the data order continues exactly
+    # where the crashed run stopped (the reference cannot resume at all,
+    # src/Monodepth.jl:191-193)
+    resumed_step = int(state.step)
+    if resumed_step and steps_per_epoch:
+        start_epoch = resumed_step // steps_per_epoch
+        loader.epoch = start_epoch
+        loader.skip_next = resumed_step % steps_per_epoch
     done = False
     for epoch in range(start_epoch, cfg.epochs):
         if done:
@@ -101,8 +131,8 @@ def fit(
             # CUDA.allowscalar(false)) — a growing jit cache means changing
             # batch shapes/dtypes are forcing recompiles every step
             if global_step == 2 or global_step % 100 == 0:
-                n_traces = getattr(step, "_cache_size", lambda: 1)()
-                if n_traces > 2:
+                n_traces = jit_trace_count(step)
+                if n_traces is not None and n_traces > 2:
                     print(
                         f"WARNING: train step retraced {n_traces}x — check for "
                         "varying batch shapes/dtypes in the input pipeline"

@@ -39,6 +39,25 @@ class StepTimer:
         return batch_size / s if s > 0 else float("nan")
 
 
+def jit_trace_count(fn) -> Optional[int]:
+    """Number of compiled traces a jitted callable holds, or None when this
+    JAX version exposes no introspection hook.
+
+    Backs the training loop's retrace tripwire (the perf-bug guard analog of
+    the reference's CUDA.allowscalar(false), src/Monodepth.jl:30): a growing
+    count means input shapes/dtypes vary and every step recompiles.
+    tests/test_loop.py pins this against a real jit so a JAX API rename breaks
+    a test instead of silently disarming the tripwire.
+    """
+    get = getattr(fn, "_cache_size", None)
+    if get is None:
+        return None
+    try:
+        return int(get())
+    except Exception:
+        return None
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture an XLA profiler trace viewable in TensorBoard/Perfetto."""

@@ -1,0 +1,83 @@
+"""CLI end-to-end tests (VERDICT r1: the KITTI train path had never been run
+through cli.py — the flagship entry for the flagship dataset).
+
+Each test drives `monodepth2_tpu.cli.main` exactly as a user would, over
+miniature on-disk fixtures.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from monodepth2_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_cli")
+    rng = np.random.default_rng(3)
+    for seq in ("00", "01"):
+        seq_dir = root / "sequences" / seq
+        img_dir = seq_dir / "image_0"
+        img_dir.mkdir(parents=True)
+        (seq_dir / "calib.txt").write_text(
+            "P0: 700.0 0.0 32.0 0.0 0.0 700.0 16.0 0.0 0.0 0.0 1.0 0.0\n"
+        )
+        for i in range(6):
+            arr = (rng.uniform(size=(32, 64)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(img_dir / f"{i:06d}.png")
+    return str(root)
+
+
+def test_cli_train_kitti(kitti_root, tmp_path, capsys):
+    """The reference's flagship flow: multi-sequence KITTI chain -> fit()
+    (src/Monodepth.jl:88-115), here via the CLI."""
+    save_dir = str(tmp_path / "ckpts")
+    main(
+        [
+            "train",
+            "--data", "kitti",
+            "--root", kitti_root,
+            "--width", "64", "--height", "32",
+            "--batch-size", "2",
+            "--max-steps", "2",
+            "--no-resume",
+            "--save-dir", save_dir,
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "done at step 2" in out
+    assert os.path.exists(os.path.join(save_dir, "ckpt-2.npz"))
+
+
+def test_cli_train_synthetic_and_eval_depth(tmp_path, capsys):
+    save_dir = str(tmp_path / "ckpts")
+    main(
+        [
+            "train",
+            "--data", "synthetic",
+            "--synthetic-n", "4",
+            "--width", "64", "--height", "32",
+            "--batch-size", "2",
+            "--max-steps", "1",
+            "--no-resume",
+            "--save-dir", save_dir,
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    capsys.readouterr()
+    main(
+        [
+            "eval-depth",
+            "--checkpoint", os.path.join(save_dir, "ckpt-1"),
+            "--synthetic",
+            "--limit", "2",
+            "--width", "64", "--height", "32",
+        ]
+    )
+    metrics = json.loads(capsys.readouterr().out)
+    assert "abs_rel" in metrics and np.isfinite(metrics["abs_rel"])

@@ -85,6 +85,36 @@ def test_depth10k_dataset(dtk_root):
     assert ds_gray[0].shape == (3, 128, 416, 1)
 
 
+def test_depth10k_target_size(dtk_root):
+    """Resize path for non-native resolutions (BASELINE.json config 5 trains
+    Depth10k at 640×192; the reference only supports 416×128)."""
+    root, files = dtk_root
+    ds = Depth10k(root, files, target_size=(640, 192))
+    x = ds[0]
+    assert x.shape == (3, 192, 640, 3)
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    # intrinsics follow the resize (KittiDataset convention)
+    assert ds.K[0, 2] == 320
+    assert ds.K[1, 2] == 96
+    ratio = np.mean([640 / 416, 192 / 128])
+    assert ds.K[0, 0] == pytest.approx((2648.0 / 4.63461538462) * ratio)
+
+
+def test_resize_bilinear_exact_on_linear_ramp():
+    """Bilinear interpolation reproduces linear functions exactly, at any
+    target size (align-corners: endpoints map to endpoints)."""
+    from monodepth2_tpu.data.augment import resize_bilinear
+
+    h, w = 16, 52
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (2.0 * xx + 3.0 * yy)[..., None]
+    out = resize_bilinear(img, 640, 192)
+    ys = np.linspace(0, h - 1, 192, dtype=np.float32)
+    xs = np.linspace(0, w - 1, 640, dtype=np.float32)
+    expect = (2.0 * xs[None, :] + 3.0 * ys[:, None])[..., None]
+    np.testing.assert_allclose(out, expect, atol=1e-3)
+
+
 def test_find_static(dtk_root):
     root, files = dtk_root
     ds = Depth10k(root, files, grayscale=True)
@@ -116,6 +146,40 @@ def test_dchain(kitti_root):
         chain[6]
 
 
+def test_dchain_carries_intrinsics(kitti_root):
+    """fit() takes K/frame layout straight from a DChain (the reference uses
+    the first child's K for the whole chain, src/Monodepth.jl:99,110-115)."""
+    d0 = KittiDataset(kitti_root, "00", target_size=(48, 24))
+    d1 = KittiDataset(kitti_root, "01", target_size=(48, 24))
+    chain = DChain([d0, d1])
+    np.testing.assert_array_equal(chain.K, d0.K)
+    np.testing.assert_array_equal(chain.invK, d0.invK)
+    assert chain.target_id == d0.target_id
+    assert chain.source_ids == d0.source_ids
+
+
+def test_dataloader_deterministic_across_worker_counts(kitti_root):
+    """Same seed must produce identical batches regardless of num_workers —
+    augmentation randomness is keyed per (seed, epoch, item), not drawn from
+    a shared (thread-unsafe) generator."""
+    from monodepth2_tpu.data import FlipX
+
+    def batches(workers):
+        ds = KittiDataset(
+            kitti_root, "00", target_size=(48, 32), augmentations=FlipX(0.5)
+        )
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=7, num_workers=workers
+        )
+        return [list(loader) for _ in range(2)]  # two epochs
+
+    a, b = batches(1), batches(4)
+    assert len(a) == 2 and len(a[0]) == 1  # 3 items, batch 2, drop_last
+    for ea, eb in zip(a, b):
+        for xa, xb in zip(ea, eb):
+            np.testing.assert_array_equal(xa, xb)
+
+
 def test_dataloader_batching():
     ds = SyntheticTriplets(n=10, target_size=(32, 16))
     loader = DataLoader(ds, batch_size=4, shuffle=False)
@@ -139,6 +203,45 @@ def test_synthetic_dataset_deterministic():
     ds = SyntheticTriplets(n=4, target_size=(32, 16))
     np.testing.assert_array_equal(ds[2], ds[2])
     assert ds[0].shape == (3, 16, 32, 1)
+
+
+def test_synthetic_driving_geometry():
+    """The driving renderer must be pixel-consistent with the training warp:
+    warping each source with the GT depth + GT relative pose reconstructs the
+    target far better than the identity (same oracle pattern as the
+    reference's identity-warp test, SURVEY.md §4)."""
+    import jax.numpy as jnp
+
+    from monodepth2_tpu.data.synthetic import SyntheticDriving
+    from monodepth2_tpu.ops import pixel_grid, warp_images
+
+    ds = SyntheticDriving(n=1, target_size=(128, 64), seed=3)
+    x = jnp.asarray(ds[0][None])
+    gt = ds.gt_depth_for(0)
+    assert gt.shape == (64, 128)
+    assert gt.min() > 1.0 and gt.max() <= ds.wall_depth + 1e-3
+
+    h, w = 64, 128
+    min_d, max_d = 0.1, 100.0
+    disp = (
+        ((1.0 / gt - 1.0 / max_d) / (1.0 / min_d - 1.0 / max_d))
+        .reshape(1, h, w, 1)
+        .astype(np.float32)
+    )
+    transforms = [
+        (jnp.asarray(R, jnp.float32)[None], jnp.asarray(t, jnp.float32)[None])
+        for R, t in ds.gt_poses_for(0)
+    ]
+    warped = warp_images(
+        jnp.asarray(disp), x, transforms,
+        jnp.asarray(ds.K, jnp.float32), jnp.asarray(ds.invK, jnp.float32),
+        pixel_grid(w, h), (0, 2), min_d, max_d,
+    )
+    tgt = x[:, 1]
+    for sid, wimg in zip((0, 2), warped):
+        id_err = float(jnp.mean(jnp.abs(x[:, sid] - tgt)))
+        warp_err = float(jnp.mean(jnp.abs(wimg - tgt)))
+        assert warp_err < id_err / 2.0
 
 
 def test_ground_plane_geometry():
