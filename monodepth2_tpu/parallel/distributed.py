@@ -1,0 +1,149 @@
+"""Multi-host (multi-process) scaffolding: jax.distributed init + per-host
+input sharding.
+
+The reference is strictly single-process/single-GPU (src/Monodepth.jl:71;
+SURVEY.md §2c) — this layer is the TPU-pod story. Design (scaling-book
+recipe): one process per host, `jax.distributed.initialize` wires the
+coordinator, the mesh spans ALL devices (ICI within a slice, DCN across
+slices handled by the compiler), and each process loads ONLY the slice of
+every global batch that lands on its addressable devices
+(`jax.make_array_from_process_local_data`). Single-process remains a perfect
+degenerate case of every code path, which is how the CPU test suite covers
+this without multiple processes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-process JAX when configured; no-op otherwise.
+
+    Configuration comes from the arguments or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; on Cloud
+    TPU pods jax.distributed.initialize() also auto-detects with no args).
+    Returns True if a multi-process runtime was initialized.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_info() -> tuple:
+    """(process_id, num_processes) — (0, 1) when single-process."""
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """The slice of every global batch this process must load.
+
+    Processes own contiguous equal slices in process_index order — matching
+    how a leading-axis NamedSharding lays the global array out over devices
+    enumerated process-by-process.
+    """
+    pid, pcount = process_info()
+    if global_batch_size % pcount:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{pcount} processes"
+        )
+    per = global_batch_size // pcount
+    return slice(pid * per, (pid + 1) * per)
+
+
+def shard_host_batch(local_batch: np.ndarray, mesh: Mesh, axis: str = "data"):
+    """Assemble the global, batch-sharded device array from THIS process's
+    local slice (each host feeds only its addressable devices — no host ever
+    materializes the global batch).
+
+    local_batch: this process's rows of the global batch (see
+    `local_batch_slice`). Single-process: local == global, and this is
+    equivalent to `shard_batch`.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+class PerHostSampler:
+    """Wraps a dataset so a DataLoader on this process yields only the local
+    rows of each global batch, while the global shuffle order stays identical
+    on every process (same seed → same permutation).
+
+    Use: loader = DataLoader(PerHostSampler(ds, global_batch), per_host_batch)
+    with shuffle=False — the sampler owns the global shuffle so that
+    rows [pid·B/P, (pid+1)·B/P) of every global batch land on process pid in
+    order, exactly matching `shard_host_batch`'s leading-axis layout.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        global_batch_size: int,
+        seed: int = 0,
+        process_id: Optional[int] = None,
+        num_processes: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.global_batch_size = global_batch_size
+        self.seed = seed
+        pid, pcount = process_info()
+        self.process_id = process_id if process_id is not None else pid
+        self.num_processes = num_processes if num_processes is not None else pcount
+        if global_batch_size % self.num_processes:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{self.num_processes} processes"
+            )
+        self.per_host = global_batch_size // self.num_processes
+        self.epoch = 0
+        for attr in ("K", "invK", "target_id", "source_ids"):
+            if hasattr(dataset, attr):
+                setattr(self, attr, getattr(dataset, attr))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n_global_batches = len(self.dataset) // self.global_batch_size
+        return n_global_batches * self.per_host
+
+    def _global_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        rng = np.random.default_rng([self.seed, self.epoch])
+        rng.shuffle(order)
+        return order
+
+    def __getitem__(self, i: int, rng=None):
+        """Local item i -> the matching row of the global shuffled order."""
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        gb, r = divmod(i, self.per_host)
+        gidx = self._global_order()[
+            gb * self.global_batch_size + self.process_id * self.per_host + r
+        ]
+        try:
+            return self.dataset.__getitem__(int(gidx), rng)
+        except TypeError:
+            return self.dataset[int(gidx)]

@@ -52,6 +52,15 @@ class TrainConfig:
     # VALIDATION.md)
     grad_clip: float = 0.0
     lr_warmup_steps: int = 0
+    # anti-collapse stabilizer (the known from-scratch SSL failure mode:
+    # disparity saturates to 0/1 before pose-depth co-adaptation starts —
+    # VALIDATION.md): L2 penalty on the pre-sigmoid disparity logit,
+    # weight `disp_reg` decaying linearly to zero over `disp_reg_steps`.
+    # The logit (recovered as log(d/(1-d))) is penalized rather than the
+    # disparity itself because the sigmoid's vanishing gradient would
+    # otherwise disarm the penalty exactly where it is needed. 0 = off.
+    disp_reg: float = 0.0
+    disp_reg_steps: int = 0
 
     # precision: params fp32; "bfloat16" computes the network in bf16
     compute_dtype: str = "float32"

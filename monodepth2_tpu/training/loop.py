@@ -18,7 +18,13 @@ import numpy as np
 
 from ..data import DataLoader, device_prefetch
 from ..models import Model
-from ..parallel import make_mesh, make_parallel_train_step, shard_batch
+from ..parallel import (
+    PerHostSampler,
+    make_mesh,
+    make_parallel_train_step,
+    shard_batch,
+    shard_host_batch,
+)
 from ..utils.profiler import StepTimer, jit_trace_count
 from ..utils.viz import save_disparity, save_warped
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
@@ -92,9 +98,20 @@ def fit(
         jax.config.update("jax_debug_nans", True)
 
     timer = StepTimer()
-    loader = DataLoader(
-        dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
-    )
+    multi_process = jax.process_count() > 1
+    if mesh is not None and multi_process:
+        # each host loads only its rows of every global batch (SURVEY §2c:
+        # "each host feeds its addressable devices"); the sampler owns the
+        # global shuffle so it is identical on all processes
+        sampler = PerHostSampler(dataset, cfg.batch_size, seed=cfg.seed)
+        loader = DataLoader(
+            sampler, sampler.per_host, shuffle=False, seed=cfg.seed
+        )
+    else:
+        sampler = None
+        loader = DataLoader(
+            dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
+        )
     steps_per_epoch = len(loader)
     # epoch-position resume: the shuffle is a pure function of (seed, epoch)
     # and step counts batches, so (epoch, batch cursor) is recoverable from
@@ -110,7 +127,13 @@ def fit(
     for epoch in range(start_epoch, cfg.epochs):
         if done:
             break
-        batches = device_prefetch(iter(loader), size=2, dtype=jnp.float32)
+        if sampler is not None:
+            sampler.set_epoch(epoch)
+        if multi_process and mesh is not None:
+            # shard_host_batch does the (sharded) host→device placement
+            batches = iter(loader)
+        else:
+            batches = device_prefetch(iter(loader), size=2, dtype=jnp.float32)
         if progress:
             # live loss/throughput bar (reference: ProgressMeter at
             # src/Monodepth.jl:154,196)
@@ -122,7 +145,11 @@ def fit(
             )
         for i, batch in enumerate(batches):
             if mesh is not None:
-                batch = shard_batch(batch, mesh)
+                batch = (
+                    shard_host_batch(np.asarray(batch), mesh)
+                    if multi_process
+                    else shard_batch(batch, mesh)
+                )
             state, metrics, aux = step(state, batch)
             timer.tick()
             global_step = int(state.step)

@@ -35,6 +35,7 @@ def train_loss(
     cfg: TrainConfig,
     auto_loss: Optional[Array] = None,
     train: bool = True,
+    disp_reg_weight: Optional[Array] = None,
 ):
     """frames (N,L,H,W,C) -> (loss, aux dict).
 
@@ -146,6 +147,16 @@ def train_loss(
         + smooth_per_scale * jnp.asarray(cfg.disparity_smoothness, dtype) * scale_w
     )
     total = jnp.mean(per_scale)
+
+    if disp_reg_weight is not None:
+        # anti-collapse stabilizer (config.py disp_reg): L2 on the recovered
+        # pre-sigmoid logit. d(logit²)/d(pre-activation) = 2·logit — a
+        # non-vanishing restoring force even when the sigmoid saturates,
+        # which is exactly when the photometric gradient dies (VALIDATION.md
+        # saturation attractors).
+        d = jnp.clip(disps_full, 1e-6, 1.0 - 1e-6)
+        logit = jnp.log(d) - jnp.log1p(-d)
+        total = total + disp_reg_weight * jnp.mean(logit * logit)
 
     aux["disparity"] = disps_full[-1]
     aux["warped"] = [warped_all[s, -1] for s in range(Src)]

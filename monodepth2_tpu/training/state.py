@@ -74,10 +74,20 @@ def make_train_step(
                 frames, frames[:, cfg.target_id], cfg.source_ids
             )
 
+        disp_reg_weight = None
+        if cfg.disp_reg > 0 and cfg.disp_reg_steps > 0:
+            frac = jnp.clip(
+                1.0 - state.step.astype(jnp.float32) / cfg.disp_reg_steps,
+                0.0,
+                1.0,
+            )
+            disp_reg_weight = cfg.disp_reg * frac
+
         def loss_fn(params):
             loss, aux = train_loss(
                 model, params, state.stats, frames, ctx, cfg,
                 auto_loss=auto_loss, train=True,
+                disp_reg_weight=disp_reg_weight,
             )
             return loss, aux
 

