@@ -28,6 +28,15 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--width", type=int)
     p.add_argument("--height", type=int)
     p.add_argument("--automasking", action="store_true", default=None)
+    p.add_argument("--min-depth", type=float)
+    p.add_argument("--max-depth", type=float)
+    p.add_argument("--grad-clip", type=float)
+    p.add_argument("--lr-warmup-steps", type=int)
+    p.add_argument("--disp-reg", type=float,
+                   help="anti-collapse logit regularizer weight (see config)")
+    p.add_argument("--disp-reg-steps", type=int)
+    p.add_argument("--pose-tz-init", type=float,
+                   help="forward-motion prior: initial tz of the pose head")
     p.add_argument("--bf16", action="store_true", default=None,
                    help="bfloat16 network compute (fp32 master params)")
     p.add_argument("--debug-nans", action="store_true", default=None)
@@ -54,6 +63,13 @@ def _build_config(args) -> "TrainConfig":
         ("save_dir", "save_dir"),
         ("seed", "seed"),
         ("debug_nans", "debug_nans"),
+        ("min_depth", "min_depth"),
+        ("max_depth", "max_depth"),
+        ("grad_clip", "grad_clip"),
+        ("lr_warmup_steps", "lr_warmup_steps"),
+        ("disp_reg", "disp_reg"),
+        ("disp_reg_steps", "disp_reg_steps"),
+        ("pose_tz_init", "pose_tz_init"),
     ]:
         v = getattr(args, attr, None)
         if v is not None:

@@ -35,6 +35,7 @@ class Model(Module):
         depth: int = 18,
         in_channels: int = 1,
         scale_levels: Sequence[int] = (2, 3, 4, 5),
+        pose_tz_init: float = 0.0,
     ) -> "Model":
         encoder = ResNetEncoder(depth=depth, in_channels=in_channels)
         return Model(
@@ -42,7 +43,9 @@ class Model(Module):
             depth_decoder=DepthDecoder(
                 encoder_channels=encoder.stages, scale_levels=tuple(scale_levels)
             ),
-            pose_decoder=PoseDecoder(in_channels=encoder.stages[-1]),
+            pose_decoder=PoseDecoder(
+                in_channels=encoder.stages[-1], tz_init=pose_tz_init
+            ),
         )
 
     def init(self, key):

@@ -25,6 +25,14 @@ Array = jax.Array
 class PoseDecoder(Module):
     in_channels: int = 512
     n_input_features: int = 2
+    # forward-motion prior: initialize the head's z-translation bias so the
+    # predicted (earlier→later) transform starts at tz = tz_init instead of 0.
+    # Breaks the t≈0 symmetry that locks from-scratch SSL into the far-flat
+    # attractor (VALIDATION.md) — the same move as the reference's rvec init
+    # (0,0,0.01) in simple_depth (src/simple_depth.jl:12-14). Note the
+    # convention: the later camera is AHEAD, so p_later = R·p_earlier + t has
+    # tz < 0 for forward motion — pass a negative value.
+    tz_init: float = 0.0
 
     def _parts(self):
         squeeze = Conv(self.in_channels, 256, 1, 1, 0, act=jax.nn.relu)
@@ -37,7 +45,13 @@ class PoseDecoder(Module):
         parts = self._parts()
         names = ["squeeze", "p1", "p2", "p3"]
         keys = jax.random.split(key, 4)
-        return {n: l.init(k)[0] for n, l, k in zip(names, parts, keys)}, {}
+        params = {n: l.init(k)[0] for n, l, k in zip(names, parts, keys)}
+        if self.tz_init:
+            # undo the ×1e-2 output scaling on the raw bias
+            params["p3"]["b"] = (
+                params["p3"]["b"].at[5].set(self.tz_init / 1e-2)
+            )
+        return params, {}
 
     def __call__(
         self, params, stats, features: Sequence[Array], train: bool = False

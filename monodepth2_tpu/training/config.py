@@ -61,6 +61,10 @@ class TrainConfig:
     # otherwise disarm the penalty exactly where it is needed. 0 = off.
     disp_reg: float = 0.0
     disp_reg_steps: int = 0
+    # forward-motion prior for driving data: initial tz of the predicted
+    # (earlier→later) pose (negative = later camera ahead; see
+    # models/pose_decoder.py). 0 = the reference's zero-motion init.
+    pose_tz_init: float = 0.0
 
     # precision: params fp32; "bfloat16" computes the network in bf16
     compute_dtype: str = "float32"

@@ -75,6 +75,7 @@ def fit(
         depth=cfg.encoder_depth,
         in_channels=cfg.in_channels,
         scale_levels=cfg.scale_levels,
+        pose_tz_init=cfg.pose_tz_init,
     )
     state, tx = create_train_state(model, cfg)
 

@@ -84,6 +84,21 @@ def test_pose_decoder_shapes():
     assert np.abs(np.asarray(rvec)).max() < 1.0
 
 
+def test_pose_decoder_tz_init():
+    """Forward-motion prior: zero features -> exactly the configured tz
+    (models/pose_decoder.py; symmetry-breaking analog of the reference's
+    rvec init at src/simple_depth.jl:12-14)."""
+    dec = PoseDecoder(in_channels=512, tz_init=-0.05)
+    params, _ = dec.init(jax.random.PRNGKey(2))
+    f = jnp.zeros((2, 4, 13, 512), jnp.float32)
+    (rvec, tvec), _ = dec(params, {}, (f, f))
+    np.testing.assert_allclose(np.asarray(rvec), 0.0, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(tvec[:, 2, 0]), -0.05, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(tvec[:, :2, 0]), 0.0, atol=1e-7)
+
+
 def test_model_forward():
     model = Model.create(depth=18, in_channels=1, scale_levels=(2, 3, 4, 5))
     params, stats = model.init(jax.random.PRNGKey(3))

