@@ -37,6 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 Q = 2048  # output points per grid step (swept: 2048 best on v5e)
+# precise (fp32/HIGHEST) keeps every kernel buffer at 4 bytes — Q=2048 blows
+# the 16MB scoped-VMEM stack in the bwd kernel at training shapes (W=416), so
+# the fp32 path halves the chunk
+Q_PRECISE = 1024
 
 
 def _coords(image_hw, uv):
@@ -57,20 +61,20 @@ def _coords(image_hw, uv):
     return x0i, y0i, wx, wy, inside_u, inside_v
 
 
-def _onehot_pair(idx_row, weight_row, size, limit):
-    """(1,Q) int idx + weight -> (size, Q) matrix
-    M[k, q] = (k==idx_q)·(1−w_q) + (k==idx_q+1 clamped)·w_q."""
-    ki = jax.lax.broadcasted_iota(jnp.int32, (size, Q), 0)
+def _onehot_pair(idx_row, weight_row, size, limit, q):
+    """(1,q) int idx + weight -> (size, q) matrix
+    M[k, p] = (k==idx_p)·(1−w_p) + (k==idx_p+1 clamped)·w_p."""
+    ki = jax.lax.broadcasted_iota(jnp.int32, (size, q), 0)
     i0 = idx_row  # (1, Q)
     i1 = jnp.minimum(i0 + 1, limit - 1)
     w = weight_row
     return jnp.where(ki == i0, 1.0 - w, 0.0) + jnp.where(ki == i1, w, 0.0)
 
 
-def _fwd_kernel(img_ref, x0_ref, y0_ref, wx_ref, wy_ref, out_ref, *, H, W, precise):
+def _fwd_kernel(img_ref, x0_ref, y0_ref, wx_ref, wy_ref, out_ref, *, H, W, precise, q):
     img = img_ref[0]  # (H, W)
-    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W)  # (W, Q)
-    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H)  # (H, Q)
+    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W, q)  # (W, q)
+    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H, q)  # (H, q)
     if precise:
         pm = jax.lax.dot_general(
             img, Wx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -86,12 +90,12 @@ def _fwd_kernel(img_ref, x0_ref, y0_ref, wx_ref, wy_ref, out_ref, *, H, W, preci
 
 def _bwd_kernel(
     img_ref, x0_ref, y0_ref, wx_ref, wy_ref, iu_ref, iv_ref, g_ref,
-    dimg_ref, du_ref, dv_ref, *, H, W, precise,
+    dimg_ref, du_ref, dv_ref, *, H, W, precise, q,
 ):
     img = img_ref[0]
-    g = g_ref[0, 0]  # (1, Q)
-    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W)  # (W, Q)
-    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H)  # (H, Q)
+    g = g_ref[0, 0]  # (1, q)
+    Wx = _onehot_pair(x0_ref[0, 0], wx_ref[0, 0], W, W, q)  # (W, q)
+    Wy = _onehot_pair(y0_ref[0, 0], wy_ref[0, 0], H, H, q)  # (H, q)
 
     def dot(a, b, dims):
         if precise:
@@ -115,11 +119,11 @@ def _bwd_kernel(
     dimg_ref[:] += contrib[None]
 
     # weight-derivative one-hots: dM/dw = O1 − O0
-    ki_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
+    ki_w = jax.lax.broadcasted_iota(jnp.int32, (W, q), 0)
     x0 = x0_ref[0, 0]
     x1 = jnp.minimum(x0 + 1, W - 1)
     Dx = jnp.where(ki_w == x1, 1.0, 0.0) - jnp.where(ki_w == x0, 1.0, 0.0)
-    ki_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
+    ki_h = jax.lax.broadcasted_iota(jnp.int32, (H, q), 0)
     y0 = y0_ref[0, 0]
     y1 = jnp.minimum(y0 + 1, H - 1)
     Dy = jnp.where(ki_h == y1, 1.0, 0.0) - jnp.where(ki_h == y0, 1.0, 0.0)
@@ -135,28 +139,28 @@ def _bwd_kernel(
     dv_ref[0, 0] = jnp.where(iv_ref[0, 0] != 0, dwy, 0.0)
 
 
-def _pad_points(arrs, P):
-    Ppad = ((P + Q - 1) // Q) * Q
+def _pad_points(arrs, P, q):
+    Ppad = ((P + q - 1) // q) * q
     if Ppad == P:
         return arrs, P
     return [jnp.pad(a, ((0, 0), (0, Ppad - P))) for a in arrs], P
 
 
-def _row4(a):
-    """(N, P) -> (N, P//Q, 1, Q): Mosaic requires the last two block dims to
-    be tile-aligned or equal to the array dims; (1, Q) trailing dims satisfy
+def _row4(a, q):
+    """(N, P) -> (N, P//q, 1, q): Mosaic requires the last two block dims to
+    be tile-aligned or equal to the array dims; (1, q) trailing dims satisfy
     the 'equal' branch."""
     N, P = a.shape
-    return a.reshape(N, P // Q, 1, Q)
+    return a.reshape(N, P // q, 1, q)
 
 
-def _fwd_call(img, x0i, y0i, wx, wy, *, precise, interpret):
+def _fwd_call(img, x0i, y0i, wx, wy, *, precise, interpret, q):
     N, H, W = img.shape
     P = x0i.shape[1]
-    nq = P // Q
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, precise=precise)
+    nq = P // q
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, precise=precise, q=q)
     row_spec = pl.BlockSpec(
-        (1, 1, 1, Q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
@@ -166,19 +170,19 @@ def _fwd_call(img, x0i, y0i, wx, wy, *, precise, interpret):
             row_spec, row_spec, row_spec, row_spec,
         ],
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, nq, 1, q), jnp.float32),
         interpret=interpret,
-    )(img, _row4(x0i), _row4(y0i), _row4(wx), _row4(wy))
+    )(img, _row4(x0i, q), _row4(y0i, q), _row4(wx, q), _row4(wy, q))
     return out.reshape(N, P)
 
 
-def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret):
+def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret, q):
     N, H, W = img.shape
     P = x0i.shape[1]
-    nq = P // Q
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, precise=precise)
+    nq = P // q
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, precise=precise, q=q)
     row_spec = pl.BlockSpec(
-        (1, 1, 1, Q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, q), lambda n, j: (n, j, 0, 0), memory_space=pltpu.VMEM
     )
     img_spec = pl.BlockSpec((1, H, W), lambda n, j: (n, 0, 0), memory_space=pltpu.VMEM)
     dimg, du, dv = pl.pallas_call(
@@ -192,11 +196,12 @@ def _bwd_call(img, x0i, y0i, wx, wy, iu, iv, g, *, precise, interpret):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
-            jax.ShapeDtypeStruct((N, nq, 1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((N, nq, 1, q), jnp.float32),
+            jax.ShapeDtypeStruct((N, nq, 1, q), jnp.float32),
         ),
         interpret=interpret,
-    )(img, _row4(x0i), _row4(y0i), _row4(wx), _row4(wy), _row4(iu), _row4(iv), _row4(g))
+    )(img, _row4(x0i, q), _row4(y0i, q), _row4(wx, q), _row4(wy, q),
+      _row4(iu, q), _row4(iv, q), _row4(g, q))
     return dimg, du.reshape(N, P), dv.reshape(N, P)
 
 
@@ -208,10 +213,11 @@ def _sample(img, uv, precise, interpret):
 def _sample_fwd(img, uv, precise, interpret):
     N, H, W = img.shape
     P = uv.shape[1]
+    q = Q_PRECISE if precise else Q
     x0i, y0i, wx, wy, iu, iv = _coords((H, W), uv)
-    arrs, _ = _pad_points([x0i, y0i, wx, wy], P)
+    arrs, _ = _pad_points([x0i, y0i, wx, wy], P, q)
     x0p, y0p, wxp, wyp = arrs
-    out = _fwd_call(img, x0p, y0p, wxp, wyp, precise=precise, interpret=interpret)
+    out = _fwd_call(img, x0p, y0p, wxp, wyp, precise=precise, interpret=interpret, q=q)
     out = out[:, :P]
     residuals = (img, x0p, y0p, wxp, wyp, iu, iv, uv.shape)
     return out, residuals
@@ -221,12 +227,13 @@ def _sample_bwd(precise, interpret, residuals, g):
     img, x0p, y0p, wxp, wyp, iu, iv, uv_shape = residuals
     N, H, W = img.shape
     P = uv_shape[1]
+    q = Q_PRECISE if precise else Q
     Ppad = x0p.shape[1]
     gp = jnp.pad(g, ((0, 0), (0, Ppad - P)))
     iup = jnp.pad(iu.astype(jnp.int32), ((0, 0), (0, Ppad - P)))
     ivp = jnp.pad(iv.astype(jnp.int32), ((0, 0), (0, Ppad - P)))
     dimg, du, dv = _bwd_call(
-        img, x0p, y0p, wxp, wyp, iup, ivp, gp, precise=precise, interpret=interpret
+        img, x0p, y0p, wxp, wyp, iup, ivp, gp, precise=precise, interpret=interpret, q=q
     )
     du = du[:, :P] * ((W - 1) * 0.5)
     dv = dv[:, :P] * ((H - 1) * 0.5)
