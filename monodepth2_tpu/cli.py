@@ -37,6 +37,9 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--disp-reg-steps", type=int)
     p.add_argument("--pose-tz-init", type=float,
                    help="forward-motion prior: initial tz of the pose head")
+    p.add_argument("--steps-per-call", type=int,
+                   help="train steps per host dispatch (amortizes ~4ms/step "
+                        "remote-dispatch latency; see BASELINE.md)")
     p.add_argument("--bf16", action="store_true", default=None,
                    help="bfloat16 network compute (fp32 master params)")
     p.add_argument("--debug-nans", action="store_true", default=None)
@@ -70,6 +73,7 @@ def _build_config(args) -> "TrainConfig":
         ("disp_reg", "disp_reg"),
         ("disp_reg_steps", "disp_reg_steps"),
         ("pose_tz_init", "pose_tz_init"),
+        ("steps_per_call", "steps_per_call"),
     ]:
         v = getattr(args, attr, None)
         if v is not None:

@@ -31,9 +31,14 @@ from ..training.config import TrainConfig, TrainContext
 from ..training.state import TrainState, make_train_step
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch sharded over the mesh's data axis."""
-    return jax.device_put(batch, NamedSharding(mesh, P(axis)))
+def shard_batch(batch, mesh: Mesh, axis: str = "data", stacked: bool = False):
+    """Place a host batch sharded over the mesh's data axis.
+
+    stacked=True for (K, N, ...) steps_per_call stacks: the scan axis K is
+    replicated, the batch axis N sharded.
+    """
+    spec = P(None, axis) if stacked else P(axis)
+    return jax.device_put(batch, NamedSharding(mesh, spec))
 
 
 def make_parallel_train_step(
@@ -52,6 +57,30 @@ def make_parallel_train_step(
     step_fn = make_train_step(model, tx, ctx, cfg, axis_name=None)
     replicated = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sh),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_parallel_scanned_train_step(
+    model, tx, ctx: TrainContext, cfg: TrainConfig, mesh: Mesh, axis: str = "data",
+    donate: bool = True,
+) -> Callable:
+    """GSPMD data-parallel steps_per_call variant: batch stacked (K, N, ...),
+    scan axis replicated, batch axis sharded (see training/state.py
+    make_scanned_train_step for why K steps ride one dispatch)."""
+    from ..training.state import make_scanned_train_step
+
+    if cfg.batch_size % mesh.size != 0:
+        raise ValueError(
+            f"global batch {cfg.batch_size} not divisible by mesh size {mesh.size}"
+        )
+    step_fn = make_scanned_train_step(model, tx, ctx, cfg, axis_name=None)
+    replicated = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, axis))
     return jax.jit(
         step_fn,
         in_shardings=(replicated, batch_sh),

@@ -10,7 +10,12 @@ without editing source.
 
 from .config import TrainConfig, TrainContext
 from .loss import train_loss
-from .state import TrainState, create_train_state, make_train_step
+from .state import (
+    TrainState,
+    create_train_state,
+    make_scanned_train_step,
+    make_train_step,
+)
 
 __all__ = [
     "TrainConfig",
@@ -19,4 +24,5 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_scanned_train_step",
 ]

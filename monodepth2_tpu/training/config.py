@@ -80,6 +80,12 @@ class TrainConfig:
     # rematerialize the network in the backward pass (memory for FLOPs)
     remat: bool = False
 
+    # train steps executed per host dispatch (lax.scan inside one jitted
+    # call). >1 amortizes the ~4 ms/step remote-dispatch latency
+    # (BASELINE.md block table); logging/checkpoint cadences still fire on
+    # every crossed multiple. 1 = the reference's step-per-call behavior.
+    steps_per_call: int = 1
+
     # cadence (reference: log 50, save 500 — src/Monodepth.jl:149)
     log_every: int = 50
     save_every: int = 500

@@ -21,6 +21,7 @@ from ..models import Model
 from ..parallel import (
     PerHostSampler,
     make_mesh,
+    make_parallel_scanned_train_step,
     make_parallel_train_step,
     shard_batch,
     shard_host_batch,
@@ -29,7 +30,27 @@ from ..utils.profiler import StepTimer, jit_trace_count
 from ..utils.viz import save_disparity, save_warped
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .config import TrainConfig, TrainContext
-from .state import create_train_state, make_train_step
+from .state import create_train_state, make_scanned_train_step, make_train_step
+
+
+def _group_batches(iterator, k: int):
+    """Stack k consecutive host batches into (k, N, ...) steps_per_call
+    groups; a smaller tail group is emitted as-is (one extra compile at the
+    end of each epoch, same shape every epoch)."""
+    buf = []
+    for b in iterator:
+        buf.append(np.asarray(b))
+        if len(buf) == k:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        yield np.stack(buf)
+
+
+def _crossed(every: int, step: int, k: int) -> bool:
+    """Did [step-k, step] cross a multiple of `every`? (steps_per_call can
+    jump the counter past exact multiples.)"""
+    return bool(every) and (step // every) > ((step - k) // every)
 
 
 def fit(
@@ -87,8 +108,23 @@ def fit(
             if verbose:
                 print(f"resumed from {ck} at step {int(state.step)}")
 
+    multi_process = jax.process_count() > 1
+    spc = max(1, int(cfg.steps_per_call))
+    if spc > 1 and mesh is not None and multi_process:
+        # shard_host_batch assembles per-host rows of a flat global batch;
+        # stacked groups would need a per-host re-grouping layer — not worth
+        # the complexity, dispatch latency amortizes over hosts anyway
+        spc = 1
     if mesh is not None:
-        step = make_parallel_train_step(model, tx, ctx, cfg, mesh)
+        step = (
+            make_parallel_scanned_train_step(model, tx, ctx, cfg, mesh)
+            if spc > 1
+            else make_parallel_train_step(model, tx, ctx, cfg, mesh)
+        )
+    elif spc > 1:
+        step = jax.jit(
+            make_scanned_train_step(model, tx, ctx, cfg), donate_argnums=(0,)
+        )
     else:
         step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
 
@@ -99,7 +135,6 @@ def fit(
         jax.config.update("jax_debug_nans", True)
 
     timer = StepTimer()
-    multi_process = jax.process_count() > 1
     if mesh is not None and multi_process:
         # each host loads only its rows of every global batch (SURVEY §2c:
         # "each host feeds its addressable devices"); the sampler owns the
@@ -134,14 +169,17 @@ def fit(
             # shard_host_batch does the (sharded) host→device placement
             batches = iter(loader)
         else:
-            batches = device_prefetch(iter(loader), size=2, dtype=jnp.float32)
+            src = iter(loader)
+            if spc > 1:
+                src = _group_batches(src, spc)
+            batches = device_prefetch(src, size=2, dtype=jnp.float32)
         if progress:
             # live loss/throughput bar (reference: ProgressMeter at
             # src/Monodepth.jl:154,196)
             from tqdm import tqdm
 
             batches = tqdm(
-                batches, total=steps_per_epoch,
+                batches, total=-(-steps_per_epoch // spc),
                 desc=f"epoch {epoch + 1}/{cfg.epochs}", leave=False,
             )
         for i, batch in enumerate(batches):
@@ -149,11 +187,13 @@ def fit(
                 batch = (
                     shard_host_batch(np.asarray(batch), mesh)
                     if multi_process
-                    else shard_batch(batch, mesh)
+                    else shard_batch(batch, mesh, stacked=spc > 1)
                 )
             state, metrics, aux = step(state, batch)
             timer.tick()
             global_step = int(state.step)
+            # micro-steps this dispatch (tail groups may be short)
+            k_done = int(batch.shape[0]) if spc > 1 else 1
 
             # retrace tripwire (SURVEY.md §5: perf-bug guard analog of
             # CUDA.allowscalar(false)) — a growing jit cache means changing
@@ -166,9 +206,9 @@ def fit(
                         "varying batch shapes/dtypes in the input pipeline"
                     )
 
-            if cfg.log_every and global_step % cfg.log_every == 0:
-                loss = float(metrics["loss"])
-                ips = timer.images_per_sec(cfg.batch_size)
+            if _crossed(cfg.log_every, global_step, k_done):
+                loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
+                ips = timer.images_per_sec(cfg.batch_size * k_done)
                 if progress and hasattr(batches, "set_postfix"):
                     batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
                 if verbose and not progress:
@@ -184,11 +224,12 @@ def fit(
                         os.path.join(cfg.log_dir, f"warp-{global_step}-{sid}.png"),
                     )
 
-            if cfg.save_every and global_step % cfg.save_every == 0:
+            if _crossed(cfg.save_every, global_step, k_done):
+                last_loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
                 save_checkpoint(
                     os.path.join(cfg.save_dir, f"ckpt-{global_step}"),
                     state,
-                    metadata={"step": global_step, "loss": float(metrics["loss"]),
+                    metadata={"step": global_step, "loss": last_loss,
                               "config": cfg.to_json()},
                 )
 

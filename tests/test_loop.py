@@ -116,3 +116,15 @@ def test_jit_trace_count_tracks_retraces():
     assert jit_trace_count(f) == 1
     f(jnp.ones((3,)))  # new shape → retrace
     assert jit_trace_count(f) == 2
+
+
+def test_fit_steps_per_call_groups_dispatches(cfg):
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, steps_per_call=2, save_every=4)
+    ds = SyntheticTriplets(n=4, target_size=cfg2.target_size)
+    state, _ = fit(cfg2, ds, max_steps=4, verbose=False)
+    assert int(state.step) == 4
+    # cadence crossing still fires even though the counter jumps by 2
+    assert os.path.exists(os.path.join(cfg2.log_dir, "disp-2.png"))
+    assert os.path.exists(os.path.join(cfg2.save_dir, "ckpt-4.npz"))

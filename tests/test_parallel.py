@@ -233,3 +233,45 @@ def test_multi_step_parallel_training_decreases_loss():
         state, metrics, _ = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_parallel_scanned_step_runs():
+    """steps_per_call on a mesh: scan axis replicated, batch axis sharded.
+    Uses _TinyModel — on the 1-core CI host the 8 virtual-device threads
+    time-share, and XLA's CPU collective rendezvous aborts if the slowest
+    thread reaches a collective >40s after the first; a ResNet-sized body
+    blows that budget."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from monodepth2_tpu.parallel import make_parallel_scanned_train_step, shard_batch
+    from monodepth2_tpu.training import TrainConfig, TrainContext, create_train_state
+    import optax
+
+    mesh8 = make_mesh(8)
+    cfg = dataclasses.replace(
+        TrainConfig(target_size=(64, 32), batch_size=8, scale_levels=(5,)),
+        steps_per_call=2,
+    )
+    model = _TinyModel()
+    params, stats = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(cfg.lr)
+    from monodepth2_tpu.training.state import TrainState
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, stats=stats,
+        opt_state=tx.init(params), rng=jax.random.PRNGKey(0),
+    )
+    K = np.asarray([[50.0, 0, 32], [0, 50.0, 16], [0, 0, 1.0]])
+    ctx = TrainContext.create(K, cfg.width, cfg.height)
+    step = make_parallel_scanned_train_step(model, tx, ctx, cfg, mesh8)
+
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(
+        rng.uniform(size=(2, 8, 3, cfg.height, cfg.width, 1)), jnp.float32
+    )
+    state, metrics, _ = step(state, shard_batch(stack, mesh8, stacked=True))
+    assert int(state.step) == 2
+    assert metrics["loss"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
