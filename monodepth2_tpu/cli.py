@@ -114,7 +114,9 @@ def _build_dataset(args, cfg):
             try:
                 sets.append(
                     KittiDataset(
-                        args.root, s, target_size=cfg.target_size, augmentations=aug
+                        args.root, s, target_size=cfg.target_size,
+                        augmentations=aug,
+                        cache_decoded=getattr(args, "cache_decoded", False),
                     )
                 )
             except FileNotFoundError:
@@ -285,6 +287,9 @@ def main(argv=None):
     p.add_argument("--files", help="Depth10k file-list path")
     p.add_argument("--synthetic-n", type=int, default=64)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--cache-decoded", action="store_true",
+                   help="cache resized uint8 frames in RAM after first epoch "
+                        "(~53 KB/frame at 416x128; decode-free epochs)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", type=int, default=1, help="data-parallel devices")
     p.add_argument("--max-steps", type=int)

@@ -272,3 +272,16 @@ def test_ground_plane_geometry():
     for wimg in warped:
         warp_err = float(jnp.mean(jnp.abs(wimg - tgt)))
         assert warp_err < id_err / 3.0
+
+
+def test_kitti_cache_decoded_identical_and_hits(kitti_root):
+    ds_plain = KittiDataset(kitti_root, "00", target_size=(64, 32))
+    ds_cached = KittiDataset(
+        kitti_root, "00", target_size=(64, 32), cache_decoded=True
+    )
+    a1 = ds_cached[0]  # fill pass (also quantized)
+    a2 = ds_cached[0]  # cache hit
+    np.testing.assert_array_equal(a1, a2)
+    # cached pixels match the uncached path to u8 quantization
+    np.testing.assert_allclose(a1, ds_plain[0], atol=1 / 510 + 1e-7)
+    assert len(ds_cached._cache) == 3  # one triplet's frames cached

@@ -224,7 +224,25 @@ def test_per_host_sampler_partitions_global_batches():
 
 
 def test_multi_step_parallel_training_decreases_loss():
-    cfg, model, state, tx, ctx = _setup(batch_size=8)
+    # _TinyModel, not the ResNet: 4 sequential GSPMD steps with a full model
+    # put ~8 time-shared device threads × seconds of compute between
+    # collectives, which trips XLA's hardcoded 40 s CPU-rendezvous abort
+    # whenever the 1-core host has any other load (flaked in CI)
+    import optax
+
+    from monodepth2_tpu.training.state import TrainState
+
+    cfg = TrainConfig(target_size=(64, 32), batch_size=8, scale_levels=(5,))
+    model = _TinyModel()
+    params, stats = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, stats=stats,
+        opt_state=tx.init(params), rng=jax.random.PRNGKey(0),
+    )
+    ctx = TrainContext.create(
+        np.asarray([[50.0, 0, 32], [0, 50.0, 16], [0, 0, 1.0]]), 64, 32
+    )
     mesh = make_mesh()
     step = make_parallel_train_step(model, tx, ctx, cfg, mesh, donate=False)
     batch = shard_batch(_batch(cfg), mesh)
