@@ -8,6 +8,7 @@ by TrainConfig instead of hard-coded paths.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Optional
@@ -51,6 +52,36 @@ def _crossed(every: int, step: int, k: int) -> bool:
     """Did [step-k, step] cross a multiple of `every`? (steps_per_call can
     jump the counter past exact multiples.)"""
     return bool(every) and (step // every) > ((step - k) // every)
+
+
+# jitted train steps cached across fit() calls: the step is a pure function
+# of (cfg, intrinsics, mesh) — TrainConfig is a frozen (hashable) dataclass
+# and the model is created from cfg — but each fit() builds fresh closures,
+# which defeats jax's own jit cache and forces a full recompile per call
+# (~1-2 min each on the 1-core CPU test host; the test suite calls fit()
+# many times with identical configs)
+_STEP_CACHE: dict = {}
+
+
+def _build_step(model, tx, ctx, cfg, mesh, spc):
+    key = (cfg, np.asarray(ctx.K).tobytes(), id(mesh) if mesh is not None else None, spc)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if mesh is not None:
+        step = (
+            make_parallel_scanned_train_step(model, tx, ctx, cfg, mesh)
+            if spc > 1
+            else make_parallel_train_step(model, tx, ctx, cfg, mesh)
+        )
+    elif spc > 1:
+        step = jax.jit(
+            make_scanned_train_step(model, tx, ctx, cfg), donate_argnums=(0,)
+        )
+    else:
+        step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
+    _STEP_CACHE[key] = step
+    return step
 
 
 def fit(
@@ -115,18 +146,7 @@ def fit(
         # stacked groups would need a per-host re-grouping layer — not worth
         # the complexity, dispatch latency amortizes over hosts anyway
         spc = 1
-    if mesh is not None:
-        step = (
-            make_parallel_scanned_train_step(model, tx, ctx, cfg, mesh)
-            if spc > 1
-            else make_parallel_train_step(model, tx, ctx, cfg, mesh)
-        )
-    elif spc > 1:
-        step = jax.jit(
-            make_scanned_train_step(model, tx, ctx, cfg), donate_argnums=(0,)
-        )
-    else:
-        step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
+    step = _build_step(model, tx, ctx, cfg, mesh, spc)
 
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.save_dir, exist_ok=True)
@@ -209,6 +229,20 @@ def fit(
             if _crossed(cfg.log_every, global_step, k_done):
                 loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
                 ips = timer.images_per_sec(cfg.batch_size * k_done)
+                mean_disp = float(
+                    metrics["mean_disparity"][-1]
+                    if spc > 1 else metrics["mean_disparity"]
+                )
+                # durable metrics stream (reference only has a live progress
+                # bar, src/Monodepth.jl:196); one JSON object per line
+                with open(
+                    os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
+                ) as mf:
+                    mf.write(json.dumps({
+                        "step": global_step, "epoch": epoch, "loss": loss,
+                        "mean_disparity": mean_disp,
+                        "img_per_sec": round(ips, 1), "ts": time.time(),
+                    }) + "\n")
                 if progress and hasattr(batches, "set_postfix"):
                     batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
                 if verbose and not progress:

@@ -53,6 +53,7 @@ def test_colorize_and_save(tmp_path):
     assert Image.open(p2).size == (24, 16)
 
 
+@pytest.mark.slow
 def test_eval_images_end_to_end(tmp_path):
     from monodepth2_tpu.eval import eval_images
 
@@ -116,6 +117,7 @@ def test_resnet50_model_forward():
     assert poses[0][0].shape == (1, 3)
 
 
+@pytest.mark.slow
 def test_eval_video_end_to_end(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from monodepth2_tpu.eval import eval_video

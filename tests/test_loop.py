@@ -34,6 +34,7 @@ def test_fit_trains_and_checkpoints(cfg):
     assert os.path.exists(os.path.join(cfg.log_dir, "warp-2-0.png"))
 
 
+@pytest.mark.slow
 def test_fit_resumes(cfg):
     ds = SyntheticTriplets(n=4, target_size=cfg.target_size)
     fit(cfg, ds, max_steps=2, verbose=False)
@@ -53,6 +54,7 @@ class _RecordingTriplets(SyntheticTriplets):
         return super().__getitem__(i, rng)
 
 
+@pytest.mark.slow
 def test_fit_resume_continues_epoch_position(cfg):
     """A resumed run must not retrain epochs/batches it already did, and must
     see exactly the data order the uninterrupted run would have seen."""
@@ -128,3 +130,15 @@ def test_fit_steps_per_call_groups_dispatches(cfg):
     # cadence crossing still fires even though the counter jumps by 2
     assert os.path.exists(os.path.join(cfg2.log_dir, "disp-2.png"))
     assert os.path.exists(os.path.join(cfg2.save_dir, "ckpt-4.npz"))
+
+
+def test_fit_writes_metrics_jsonl(cfg):
+    import json
+
+    ds = SyntheticTriplets(n=4, target_size=cfg.target_size)
+    fit(cfg, ds, max_steps=2, verbose=False)
+    path = os.path.join(cfg.log_dir, "metrics.jsonl")
+    assert os.path.exists(path)
+    rows = [json.loads(l) for l in open(path)]
+    assert rows and rows[-1]["step"] == 2
+    assert "loss" in rows[-1] and "mean_disparity" in rows[-1]

@@ -21,6 +21,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "simple_depth_golden.
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden file missing")
+@pytest.mark.slow
 def test_simple_depth_matches_torch_golden():
     import jax.numpy as jnp
 
