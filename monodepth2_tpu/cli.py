@@ -128,7 +128,9 @@ def _build_dataset(args, cfg):
         with open(args.files) as f:
             files = [l.strip() for l in f if l.strip()]
         return Depth10k(
-            args.root, files, augmentations=aug, grayscale=cfg.in_channels == 1
+            args.root, files, augmentations=aug,
+            grayscale=cfg.in_channels == 1,
+            cache_decoded=getattr(args, "cache_decoded", False),
         )
     sys.exit(f"unknown --data {args.data}")
 

@@ -29,6 +29,7 @@ class Depth10k:
         grayscale: bool = False,
         use_native: bool = True,
         target_size: Optional[Tuple[int, int]] = None,
+        cache_decoded: bool = False,
     ):
         """target_size (width, height) resizes each frame AFTER the strip
         split; the focal is rescaled by the mean target/native ratio with the
@@ -59,11 +60,41 @@ class Depth10k:
         self.invK = np.linalg.inv(self.K)
         self.target_id = 1
         self.source_ids = (0, 2)
+        # RAM cache of decoded+resized uint8 triplets (see KittiDataset:
+        # host decode is marginal against the chip; epochs after the first
+        # run decode-free). u8-quantized on the fill pass too so all epochs
+        # see identical pixels.
+        import threading
+
+        self._cache = {} if cache_decoded else None
+        self._cache_lock = threading.Lock() if cache_decoded else None
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
+        cached = self._decode_cached(i)
+        if self.augmentations is not None:
+            rng = rng or np.random.default_rng()
+            cached = np.stack(self.augmentations(list(cached), rng), axis=0)
+        return cached
+
+    def _decode_cached(self, i: int) -> np.ndarray:
+        if self._cache is not None:
+            with self._cache_lock:
+                hit = self._cache.get(i)
+            if hit is not None:
+                return hit.astype(np.float32) / 255.0
+        frames = self._decode(i)
+        out = np.stack(frames, axis=0)  # (3,H,W,C)
+        if self._cache is not None:
+            u8 = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+            with self._cache_lock:
+                self._cache[i] = u8
+            return u8.astype(np.float32) / 255.0
+        return out
+
+    def _decode(self, i: int):
         path = os.path.join(self.dir, self.files[i])
         c = 1 if self.grayscale else 3
         if self._native is not None:
@@ -82,10 +113,7 @@ class Depth10k:
             from .augment import resize_bilinear
 
             frames = [resize_bilinear(f, self.width, self.height) for f in frames]
-        if self.augmentations is not None:
-            rng = rng or np.random.default_rng()
-            frames = self.augmentations(frames, rng)
-        return np.stack(frames, axis=0)  # (3,H,W,C)
+        return frames
 
 
 def find_static(dataset, alpha: float, progress: bool = False) -> List[str]:

@@ -285,3 +285,13 @@ def test_kitti_cache_decoded_identical_and_hits(kitti_root):
     # cached pixels match the uncached path to u8 quantization
     np.testing.assert_allclose(a1, ds_plain[0], atol=1 / 510 + 1e-7)
     assert len(ds_cached._cache) == 3  # one triplet's frames cached
+
+
+def test_dtk_cache_decoded_identical(dtk_root):
+    root, files = dtk_root
+    ds = Depth10k(root, files, grayscale=True, cache_decoded=True)
+    a1 = ds[0]
+    a2 = ds[0]
+    np.testing.assert_array_equal(a1, a2)
+    ds_plain = Depth10k(root, files, grayscale=True)
+    np.testing.assert_allclose(a1, ds_plain[0], atol=1 / 510 + 1e-7)
