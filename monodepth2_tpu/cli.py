@@ -136,14 +136,28 @@ def _build_dataset(args, cfg):
 
 
 def cmd_train(args):
-    from .parallel import make_mesh
+    # multi-process init MUST happen before any other jax call (it changes
+    # the device set); configured via --distributed or the standard env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or Cloud
+    # TPU pod auto-detect) — see parallel/distributed.py
+    from .parallel import initialize_distributed, make_mesh
+
+    multi = initialize_distributed(
+        coordinator_address=args.coordinator or None,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    ) if (args.distributed or args.coordinator
+          or "JAX_COORDINATOR_ADDRESS" in os.environ) else False
+
     from .training.loop import fit
 
     cfg = _build_config(args)
     dataset = _build_dataset(args, cfg)
     mesh = None
-    if args.mesh > 1:
-        mesh = make_mesh(args.mesh)
+    if args.mesh > 1 or multi:
+        import jax
+
+        mesh = make_mesh(args.mesh if args.mesh > 1 else len(jax.devices()))
     state, _ = fit(cfg, dataset, mesh=mesh, resume=not args.no_resume,
                    max_steps=args.max_steps, progress=args.progress)
     print(f"done at step {int(state.step)}")
@@ -294,6 +308,12 @@ def main(argv=None):
                         "(~53 KB/frame at 416x128; decode-free epochs)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", type=int, default=1, help="data-parallel devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process init (jax.distributed); coordinator "
+                        "from --coordinator or env, TPU pods auto-detect")
+    p.add_argument("--coordinator", help="coordinator host:port")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     p.add_argument("--max-steps", type=int)
     p.add_argument("--progress", action="store_true", help="live tqdm bar")
     p.set_defaults(fn=cmd_train)

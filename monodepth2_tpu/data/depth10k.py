@@ -116,23 +116,43 @@ class Depth10k:
         return frames
 
 
-def find_static(dataset, alpha: float, progress: bool = False) -> List[str]:
+def find_static(
+    dataset, alpha: float, progress: bool = False, batch_size: int = 64
+) -> List[str]:
     """Return the filenames of NON-static triplets (identity automasking loss
-    above `alpha`) — reference find_static, src/dtk.jl:51-69."""
+    above `alpha`) — reference find_static, src/dtk.jl:51-69.
+
+    The reference scores one triplet per call (src/dtk.jl:59-64); here
+    triplets are scored `batch_size` at a time in ONE jitted dispatch per
+    chunk (the tail chunk is padded to the same shape so exactly one program
+    is ever compiled) — a device round-trip per file would cost minutes over
+    Depth10k's ~10k files where one batched pass is seconds."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops.losses import automasking_loss
 
+    target_id = dataset.target_id
+    source_ids = tuple(dataset.source_ids)
+
+    @jax.jit
+    def per_item_loss(x):  # (B,3,H,W,C) -> (B,)
+        l = automasking_loss(x, x[:, target_id], source_ids)
+        return jnp.mean(l, axis=tuple(range(1, l.ndim)))
+
+    n = len(dataset)
     non_static = []
-    for i in range(len(dataset)):
-        x = jnp.asarray(dataset[i][None])  # (1,3,H,W,C)
-        loss = float(
-            jnp.mean(
-                automasking_loss(x, x[:, dataset.target_id], dataset.source_ids)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        items = [np.asarray(dataset[i]) for i in idx]
+        while len(items) < batch_size:  # pad tail; scores discarded below
+            items.append(items[-1])
+        losses = np.asarray(per_item_loss(jnp.asarray(np.stack(items))))
+        for j, i in enumerate(idx):
+            if float(losses[j]) > alpha:
+                non_static.append(dataset.files[i])
+        if progress:
+            print(
+                f"find_static {idx[-1] + 1}/{n}: kept {len(non_static)}"
             )
-        )
-        if loss > alpha:
-            non_static.append(dataset.files[i])
-        if progress and (i + 1) % 50 == 0:
-            print(f"find_static {i + 1}/{len(dataset)}: kept {len(non_static)}")
     return non_static

@@ -85,6 +85,20 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop_evt = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # a plain q.put blocks forever once the consumer stops draining
+            # (early `break` from fit(max_steps=...), exception in the train
+            # loop) and the `finally: stop_evt.set()` can never unblock it —
+            # leaking one daemon thread + a pinned batch per abandoned
+            # iterator. Poll the event while waiting for queue space instead.
+            while not stop_evt.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
@@ -92,10 +106,11 @@ class DataLoader:
                         if stop_evt.is_set():
                             return
                         items = list(pool.map(load_one, idx_batch))
-                        q.put(np.stack(items, axis=0))
-                    q.put(None)
+                        if not put_or_stop(np.stack(items, axis=0)):
+                            return
+                    put_or_stop(None)
                 except BaseException as e:  # surface worker errors to consumer
-                    q.put(e)
+                    put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -73,7 +73,10 @@ def local_batch_slice(global_batch_size: int) -> slice:
     return slice(pid * per, (pid + 1) * per)
 
 
-def shard_host_batch(local_batch: np.ndarray, mesh: Mesh, axis: str = "data"):
+def shard_host_batch(
+    local_batch: np.ndarray, mesh: Mesh, axis: str = "data",
+    stacked: bool = False,
+):
     """Assemble the global, batch-sharded device array from THIS process's
     local slice (each host feeds only its addressable devices — no host ever
     materializes the global batch).
@@ -81,8 +84,12 @@ def shard_host_batch(local_batch: np.ndarray, mesh: Mesh, axis: str = "data"):
     local_batch: this process's rows of the global batch (see
     `local_batch_slice`). Single-process: local == global, and this is
     equivalent to `shard_batch`.
+
+    stacked=True for (K, N_local, ...) steps_per_call groups: the scan axis K
+    is replicated (every process holds all K micro-batches of its rows), the
+    batch axis sharded — the multi-process mirror of `shard_batch(stacked=)`.
     """
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(None, axis) if stacked else P(axis))
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
@@ -118,6 +125,11 @@ class PerHostSampler:
             )
         self.per_host = global_batch_size // self.num_processes
         self.epoch = 0
+        # per-epoch cache of the global permutation: recomputing it per item
+        # is O(n) work per sample / O(n²) per epoch (at KITTI scale ~60M
+        # shuffle-element ops per epoch per worker thread)
+        self._order_epoch: Optional[int] = None
+        self._order: Optional[np.ndarray] = None
         for attr in ("K", "invK", "target_id", "source_ids"):
             if hasattr(dataset, attr):
                 setattr(self, attr, getattr(dataset, attr))
@@ -130,20 +142,34 @@ class PerHostSampler:
         return n_global_batches * self.per_host
 
     def _global_order(self) -> np.ndarray:
-        order = np.arange(len(self.dataset))
-        rng = np.random.default_rng([self.seed, self.epoch])
-        rng.shuffle(order)
-        return order
+        if self._order_epoch != self.epoch:
+            order = np.arange(len(self.dataset))
+            rng = np.random.default_rng([self.seed, self.epoch])
+            rng.shuffle(order)
+            # assign the cache atomically (tuple-free: readers in loader
+            # worker threads only ever see a (epoch, order) pair where the
+            # order was fully built before the epoch tag was written)
+            self._order = order
+            self._order_epoch = self.epoch
+        return self._order
 
     def __getitem__(self, i: int, rng=None):
-        """Local item i -> the matching row of the global shuffled order."""
+        """Local item i -> the matching row of the global shuffled order.
+
+        The augmentation RNG passed down is derived from the GLOBAL index
+        (not the loader's local one, which differs per process layout), so a
+        given item draws identical augmentations no matter how many
+        processes the batch is split across — what makes a 1×N-device run
+        bit-equal to a P×(N/P) run.
+        """
         if i < 0 or i >= len(self):
             raise IndexError(i)
         gb, r = divmod(i, self.per_host)
-        gidx = self._global_order()[
+        gidx = int(self._global_order()[
             gb * self.global_batch_size + self.process_id * self.per_host + r
-        ]
+        ])
+        rng = np.random.default_rng([self.seed, self.epoch, gidx])
         try:
-            return self.dataset.__getitem__(int(gidx), rng)
+            return self.dataset.__getitem__(gidx, rng)
         except TypeError:
-            return self.dataset[int(gidx)]
+            return self.dataset[gidx]

@@ -13,6 +13,7 @@ tree structure (the normal JAX pattern); shapes/dtypes are validated.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -20,6 +21,16 @@ from typing import Any, Optional
 
 import jax
 import numpy as np
+
+
+def treedef_fingerprint(state) -> str:
+    """Stable hash of the state's pytree STRUCTURE (treedef string), which
+    leaf-count/shape checks alone cannot see: two states with the same number
+    of same-shaped leaves but different structure (e.g. a different optax
+    chain, or swapped same-shape dict keys) would otherwise load silently in
+    the wrong order."""
+    s = str(jax.tree_util.tree_structure(state))
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
 def save_checkpoint(path: str, state, metadata: Optional[dict] = None) -> None:
@@ -32,13 +43,32 @@ def save_checkpoint(path: str, state, metadata: Optional[dict] = None) -> None:
     os.replace(tmp, path + ".npz")
     meta = dict(metadata or {})
     meta.setdefault("n_leaves", len(leaves))
+    meta.setdefault("treedef_sha", treedef_fingerprint(state))
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
 
 
 def load_checkpoint(path: str, template_state):
-    """Restore a state with `template_state`'s structure from `<path>.npz`."""
+    """Restore a state with `template_state`'s structure from `<path>.npz`.
+
+    Refuses to load when the sidecar's treedef fingerprint differs from the
+    template's (structure mismatch — wrong config/optimizer for this
+    checkpoint). Checkpoints written before fingerprinting load with the
+    legacy leaf-count/shape validation only."""
     leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    sidecar = path + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+        want = meta.get("treedef_sha")
+        have = treedef_fingerprint(template_state)
+        if want is not None and want != have:
+            raise ValueError(
+                f"checkpoint {path} was saved with a different state "
+                f"structure (treedef {want} != template {have}) — the "
+                "config/optimizer this run builds does not match the one "
+                "that wrote the checkpoint"
+            )
     with np.load(path + ".npz") as data:
         keys = sorted(data.files)
         if len(keys) != len(leaves):

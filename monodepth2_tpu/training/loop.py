@@ -59,12 +59,30 @@ def _crossed(every: int, step: int, k: int) -> bool:
 # and the model is created from cfg — but each fit() builds fresh closures,
 # which defeats jax's own jit cache and forces a full recompile per call
 # (~1-2 min each on the 1-core CPU test host; the test suite calls fit()
-# many times with identical configs)
+# many times with identical configs).
+#
+# INVARIANT: `model` and `tx` must be pure functions of `cfg` (they are —
+# fit() derives both from cfg and nothing else); a caller passing a custom
+# model/optimizer would hit a cached step built for cfg's versions, which is
+# why _build_step is module-private and only reachable through fit().
 _STEP_CACHE: dict = {}
 
 
+def _mesh_key(mesh):
+    """Identity-by-content for the cache key: id(mesh) is unsafe (CPython
+    reuses ids after GC, silently serving a step jitted for a dead mesh's
+    NamedShardings) — key on shape/axes/device ids instead."""
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.shape.items()),
+        tuple(mesh.axis_names),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def _build_step(model, tx, ctx, cfg, mesh, spc):
-    key = (cfg, np.asarray(ctx.K).tobytes(), id(mesh) if mesh is not None else None, spc)
+    key = (cfg, np.asarray(ctx.K).tobytes(), _mesh_key(mesh), spc)
     hit = _STEP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -141,11 +159,6 @@ def fit(
 
     multi_process = jax.process_count() > 1
     spc = max(1, int(cfg.steps_per_call))
-    if spc > 1 and mesh is not None and multi_process:
-        # shard_host_batch assembles per-host rows of a flat global batch;
-        # stacked groups would need a per-host re-grouping layer — not worth
-        # the complexity, dispatch latency amortizes over hosts anyway
-        spc = 1
     step = _build_step(model, tx, ctx, cfg, mesh, spc)
 
     os.makedirs(cfg.log_dir, exist_ok=True)
@@ -155,10 +168,13 @@ def fit(
         jax.config.update("jax_debug_nans", True)
 
     timer = StepTimer()
-    if mesh is not None and multi_process:
+    if mesh is not None:
         # each host loads only its rows of every global batch (SURVEY §2c:
         # "each host feeds its addressable devices"); the sampler owns the
-        # global shuffle so it is identical on all processes
+        # global shuffle so it is identical on all processes. Used for
+        # single-process meshes too: the same (seed, epoch)-deterministic
+        # global order then flows through ANY process layout, which makes a
+        # 1×8 run bit-comparable to a 2×4 run (tests/test_multiprocess.py)
         sampler = PerHostSampler(dataset, cfg.batch_size, seed=cfg.seed)
         loader = DataLoader(
             sampler, sampler.per_host, shuffle=False, seed=cfg.seed
@@ -186,8 +202,13 @@ def fit(
         if sampler is not None:
             sampler.set_epoch(epoch)
         if multi_process and mesh is not None:
-            # shard_host_batch does the (sharded) host→device placement
+            # shard_host_batch does the (sharded) host→device placement;
+            # steps_per_call groups stack this host's rows only — every
+            # process stacks the SAME k global batches (the sampler's global
+            # shuffle is seed-deterministic), so the group boundaries agree
             batches = iter(loader)
+            if spc > 1:
+                batches = _group_batches(batches, spc)
         else:
             src = iter(loader)
             if spc > 1:
@@ -205,7 +226,9 @@ def fit(
         for i, batch in enumerate(batches):
             if mesh is not None:
                 batch = (
-                    shard_host_batch(np.asarray(batch), mesh)
+                    shard_host_batch(
+                        np.asarray(batch, np.float32), mesh, stacked=spc > 1
+                    )
                     if multi_process
                     else shard_batch(batch, mesh, stacked=spc > 1)
                 )
@@ -227,19 +250,30 @@ def fit(
                     )
 
             if _crossed(cfg.log_every, global_step, k_done):
-                loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
+                # log the loss of the micro-step that actually crossed the
+                # log_every multiple, at its true step index (with spc>1 the
+                # dispatch can jump the counter past the multiple; all K
+                # per-micro-step values are returned)
+                log_step = (global_step // cfg.log_every) * cfg.log_every
+                off = k_done - 1 - (global_step - log_step)
+                if spc > 1 and 0 <= off < k_done:
+                    loss = float(metrics["loss"][off])
+                    mean_disp = float(metrics["mean_disparity"][off])
+                else:
+                    log_step = global_step
+                    loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
+                    mean_disp = float(
+                        metrics["mean_disparity"][-1]
+                        if spc > 1 else metrics["mean_disparity"]
+                    )
                 ips = timer.images_per_sec(cfg.batch_size * k_done)
-                mean_disp = float(
-                    metrics["mean_disparity"][-1]
-                    if spc > 1 else metrics["mean_disparity"]
-                )
                 # durable metrics stream (reference only has a live progress
                 # bar, src/Monodepth.jl:196); one JSON object per line
                 with open(
                     os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
                 ) as mf:
                     mf.write(json.dumps({
-                        "step": global_step, "epoch": epoch, "loss": loss,
+                        "step": log_step, "epoch": epoch, "loss": loss,
                         "mean_disparity": mean_disp,
                         "img_per_sec": round(ips, 1), "ts": time.time(),
                     }) + "\n")

@@ -1,0 +1,89 @@
+"""Subprocess worker for the REAL multi-process test (tests/test_multiprocess.py).
+
+Each worker is one JAX process of a 2-process × 4-virtual-CPU-device "pod":
+it initializes jax.distributed against a localhost coordinator, then runs the
+production `fit()` end-to-end — PerHostSampler global shuffle, per-host batch
+assembly via `shard_host_batch` (`jax.make_array_from_process_local_data`),
+steps_per_call stacked groups, GSPMD train step over the full 8-device mesh —
+and saves its final checkpoint for the parent test to compare against a
+single-process 8-device run of the identical config.
+
+The reference has no multi-host story at all (src/Monodepth.jl:71); this is
+the execution proof for SURVEY.md §2c's mandated per-host input sharding.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--port", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--steps-per-call", type=int, default=2)
+    ap.add_argument("--max-steps", type=int, default=4)
+    args = ap.parse_args()
+
+    # env must be set before jax import; mirrors tests/conftest.py (x64 on,
+    # CPU platform, shared persistent compile cache)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.local_devices}"
+    )
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from monodepth2_tpu.parallel import initialize_distributed
+
+    if args.num_processes > 1:
+        ok = initialize_distributed(
+            coordinator_address=f"localhost:{args.port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        assert ok, "initialize_distributed did not initialize"
+        assert jax.process_count() == args.num_processes
+    assert jax.device_count() == args.local_devices * args.num_processes
+
+    import numpy as np  # noqa: F401
+
+    from monodepth2_tpu.data import SyntheticTriplets
+    from monodepth2_tpu.parallel import make_mesh
+    from monodepth2_tpu.training import TrainConfig
+    from monodepth2_tpu.training.loop import fit
+
+    pid = jax.process_index()
+    cfg = TrainConfig(
+        target_size=(64, 32),
+        batch_size=8,
+        scale_levels=(5,),
+        epochs=4,
+        seed=7,
+        steps_per_call=args.steps_per_call,
+        log_every=0,
+        save_every=0,
+        log_dir=os.path.join(args.outdir, f"logs-p{pid}"),
+        save_dir=os.path.join(args.outdir, f"ckpt-p{pid}"),
+    )
+    dataset = SyntheticTriplets(n=16, target_size=cfg.target_size, channels=1)
+    mesh = make_mesh(jax.device_count())
+    state, _ = fit(
+        cfg, dataset, mesh=mesh, resume=False, verbose=False,
+        max_steps=args.max_steps,
+    )
+    print(f"proc {pid}: done at step {int(state.step)}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
