@@ -161,6 +161,34 @@ def fit(
     spc = max(1, int(cfg.steps_per_call))
     step = _build_step(model, tx, ctx, cfg, mesh, spc)
 
+    if multi_process and mesh is not None:
+        # Compile BEFORE the first dispatch, then meet at a coordination-
+        # service barrier. Without this, compile-time skew between processes
+        # (one loads a persistently-cached executable in seconds while
+        # another compiles for minutes — or concurrent fresh compiles skew
+        # under CPU contention) exceeds the ~30 s timeout on the first
+        # collective's Gloo/ICI context formation, and the whole pod dies in
+        # GetKeyValue() DEADLINE_EXCEEDED. The barrier rides the coordination
+        # service (plain TCP to the coordinator), not device collectives, so
+        # it is immune to that timeout.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bshape = (cfg.batch_size, 3, cfg.height, cfg.width, cfg.in_channels)
+        spec = P("data")
+        if spc > 1:
+            bshape = (spc,) + bshape
+            spec = P(None, "data")
+        sds = jax.ShapeDtypeStruct(
+            bshape, jnp.float32, sharding=NamedSharding(mesh, spec)
+        )
+        step.lower(state, sds).compile()
+        from jax._src import distributed as _distributed
+
+        if _distributed.global_state.client is not None:
+            _distributed.global_state.client.wait_at_barrier(
+                f"fit_compiled_{int(state.step)}", timeout_in_ms=1_800_000
+            )
+
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.save_dir, exist_ok=True)
 

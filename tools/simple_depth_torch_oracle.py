@@ -24,6 +24,7 @@ Writes tests/golden/simple_depth_golden.npz (input frames + K + trajectory).
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -34,6 +35,10 @@ import torch.nn.functional as F
 torch.manual_seed(0)
 torch.set_num_threads(1)
 
+# defaults produce the quick-lane golden; --width 416 --height 128 --iters 200
+# regenerates the reference-shape golden (VERDICT r2 #7: the reference's
+# actual triplet geometry, src/simple_depth.jl:78-92, where border-clamp
+# traffic and SSIM windows differ meaningfully from the small proxy)
 H, W = 32, 96
 ITERS = 500
 LOG_EVERY = 5
@@ -97,6 +102,15 @@ def smooth(disp: torch.Tensor, img: torch.Tensor) -> torch.Tensor:
 
 
 def main():
+    global H, W, ITERS, OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=W)
+    ap.add_argument("--height", type=int, default=H)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+    H, W, ITERS, OUT = args.height, args.width, args.iters, args.out
+
     frames_np, K_np = make_input()
     frames = torch.from_numpy(frames_np)  # (1,3,H,W,1)
     K = torch.from_numpy(K_np)

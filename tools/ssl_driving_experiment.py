@@ -105,13 +105,57 @@ def main():
     ctx = TrainContext.create(np.asarray(train_ds.K), cfg.width, cfg.height)
     step = jax.jit(make_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
 
-    # ---- val harness: batched jitted inference + GT depth ----------------
-    val_targets = np.stack([val_ds[i][1] for i in range(len(val_ds))])  # (V,H,W,C)
+    # ---- val harness: batched jitted inference + GT depth/pose -----------
+    val_frames = np.stack([val_ds[i] for i in range(len(val_ds))])  # (V,3,H,W,C)
+    val_targets = val_frames[:, val_ds.target_id]  # (V,H,W,C)
     val_gt = np.stack([val_ds.gt_depth_for(i) for i in range(len(val_ds))])
+    # exact target→source transforms from the renderer's trajectory
+    # (data/synthetic.py gt_poses_for); rotation and translation DIRECTION
+    # are observable in mono SSL — translation scale is not (VERDICT r2 #4)
+    val_gt_poses = [val_ds.gt_poses_for(i) for i in range(len(val_ds))]
 
     @jax.jit
     def infer(params, stats, x):
         return model.eval_disparity(params, stats, x)[-1]
+
+    from monodepth2_tpu.ops.geometry import compose_transform
+
+    @jax.jit
+    def infer_poses(params, stats, frames):
+        """Predicted target→source (R, t) per source, composed exactly as
+        the training warp does (training/loss.py: invert for sources before
+        the target)."""
+        _, poses, _ = model(
+            params, stats, frames, val_ds.source_ids, val_ds.target_id,
+            train=False,
+        )
+        out = []
+        for sid, (rvec, tvec) in zip(val_ds.source_ids, poses):
+            R, t = compose_transform(
+                rvec.astype(jnp.float32), tvec.astype(jnp.float32),
+                invert=sid < val_ds.target_id,
+            )
+            out.append((R, t))
+        return out
+
+    def pose_errors(params, stats):
+        """Mean rotation geodesic error (deg) and translation-direction
+        angle (deg) over val scenes and both sources."""
+        pred = jax.tree_util.tree_map(
+            np.asarray, infer_poses(params, stats, jnp.asarray(val_frames))
+        )
+        rot, tdir = [], []
+        for s, (R_p, t_p) in enumerate(pred):
+            for i in range(len(val_ds)):
+                R_g, t_g = val_gt_poses[i][s]
+                cosang = (np.trace(R_p[i] @ R_g.T) - 1.0) / 2.0
+                rot.append(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+                tp, tg = t_p[i].ravel(), t_g.ravel()
+                denom = np.linalg.norm(tp) * np.linalg.norm(tg)
+                if denom > 1e-12:
+                    cosd = float(tp @ tg) / denom
+                    tdir.append(np.degrees(np.arccos(np.clip(cosd, -1.0, 1.0))))
+        return float(np.mean(rot)), float(np.mean(tdir)) if tdir else float("nan")
 
     def evaluate(params, stats):
         disp = np.asarray(infer(params, stats, jnp.asarray(val_targets)))[..., 0]
@@ -162,6 +206,7 @@ def main():
                 loss = float(metrics["loss"])
                 md = float(metrics["mean_disparity"])
                 m = evaluate(state.params, state.stats)
+                rot_err, tdir_err = pose_errors(state.params, state.stats)
                 rec = {
                     "step": done,
                     "loss": round(loss, 5),
@@ -170,6 +215,8 @@ def main():
                     "val_a1": round(m["a1"], 4),
                     "val_rmse": round(m["rmse"], 3),
                     "scale": round(m["scale"], 4),
+                    "rot_err_deg": round(rot_err, 4),
+                    "t_dir_err_deg": round(tdir_err, 2),
                     "elapsed_s": round(time.time() - t0, 1),
                 }
                 history.append(rec)
