@@ -90,7 +90,7 @@ def main():
 
     # ---- threaded: the production path ----------------------------------
     step = jax.jit(make_scanned_train_step(model, tx, ctx, cfg), donate_argnums=(0,))
-    st = jax.tree_util.tree_map(jnp.asarray, state0)
+    st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0)
 
     def call_threaded():
         nonlocal st
@@ -152,7 +152,7 @@ def main():
         return final, losses
 
     step_nu = jax.jit(scanned_no_unroll, donate_argnums=(0,))
-    st2 = jax.tree_util.tree_map(jnp.asarray, state0)
+    st2 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0)
 
     def call_nu():
         nonlocal st2
@@ -169,7 +169,7 @@ def main():
         return st3, metrics["loss"]
 
     step_na = jax.jit(scanned_no_aux, donate_argnums=(0,))
-    st3 = jax.tree_util.tree_map(jnp.asarray, state0)
+    st3 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0)
 
     def call_na():
         nonlocal st3
