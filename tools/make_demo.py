@@ -82,7 +82,16 @@ def main():
         )
         print("wrote", os.path.join(args.out, "demo.mp4"))
     except Exception as e:
+        # no ffmpeg backend in this image — fall back to an animated GIF,
+        # which is also what the reference ships (res/simple-depth.gif)
         print(f"mp4 skipped: {e}")
+        gif = os.path.join(args.out, "demo.gif")
+        ims = [Image.fromarray(p) for p in panels]
+        ims[0].save(
+            gif, save_all=True, append_images=ims[1:],
+            duration=int(1000 / args.fps), loop=0,
+        )
+        print("wrote", gif)
     print("wrote", os.path.join(args.out, "demo-strip.png"))
 
 
