@@ -487,6 +487,15 @@ def _prep(img, uv, precise):
 
 
 def _sample_fwd(img, uv, precise, interpret):
+    # COMPILE COST (ADVICE r2): every banded call compiles BOTH lax.cond
+    # branches — the column-banded kernels and the exact full-W fallback —
+    # in fwd, and twice more in bwd, roughly doubling Pallas compile time
+    # even when the fallback is never taken at runtime. This is deliberate:
+    # the fallback is what keeps banding exact (any chunk whose uv spread
+    # overflows its 128-column window reruns the whole call unbanded), and
+    # compiles are one-time + persistently cached. A host-side heuristic
+    # gating the fallback for known-full-grid training shapes would give up
+    # that exactness guarantee for a one-time cost, so it is not taken.
     c = _prep(img, uv, precise)
     H, W, P, q = c["H"], c["W"], c["P"], c["q"]
     if c["banding"]:
