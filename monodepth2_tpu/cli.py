@@ -32,6 +32,9 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--max-depth", type=float)
     p.add_argument("--grad-clip", type=float)
     p.add_argument("--lr-warmup-steps", type=int)
+    p.add_argument("--lr-decay-steps", type=int,
+                   help="one-time x lr-decay-factor step decay at this step")
+    p.add_argument("--lr-decay-factor", type=float)
     p.add_argument("--disp-reg", type=float,
                    help="anti-collapse logit regularizer weight (see config)")
     p.add_argument("--disp-reg-steps", type=int)
@@ -70,6 +73,8 @@ def _build_config(args) -> "TrainConfig":
         ("max_depth", "max_depth"),
         ("grad_clip", "grad_clip"),
         ("lr_warmup_steps", "lr_warmup_steps"),
+        ("lr_decay_steps", "lr_decay_steps"),
+        ("lr_decay_factor", "lr_decay_factor"),
         ("disp_reg", "disp_reg"),
         ("disp_reg_steps", "disp_reg_steps"),
         ("pose_tz_init", "pose_tz_init"),

@@ -52,6 +52,13 @@ class TrainConfig:
     # VALIDATION.md)
     grad_clip: float = 0.0
     lr_warmup_steps: int = 0
+    # one-time step decay: multiply lr by `lr_decay_factor` once the global
+    # step reaches `lr_decay_steps` (0 = off). The monodepth2 paper decays
+    # x0.1 for the last 5 of 20 epochs; the Julia reference keeps ADAM(1e-4)
+    # constant (src/Monodepth.jl:126) and its long-run loss plateaus — the
+    # same plateau shows in docs/runs/ssl_driving_c_20k_history.json.
+    lr_decay_steps: int = 0
+    lr_decay_factor: float = 0.1
     # anti-collapse stabilizer (the known from-scratch SSL failure mode:
     # disparity saturates to 0/1 before pose-depth co-adaptation starts —
     # VALIDATION.md): L2 penalty on the pre-sigmoid disparity logit,

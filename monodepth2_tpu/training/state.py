@@ -29,16 +29,37 @@ class TrainState(NamedTuple):
     rng: Array  # PRNG key, folded per step
 
 
+def _lr_schedule(cfg: TrainConfig):
+    """Learning rate as a function of step: linear warmup over
+    `lr_warmup_steps` (identical to optax.linear_schedule(0, lr, n)),
+    then a one-time x`lr_decay_factor` step decay at `lr_decay_steps`.
+    Returns the plain float when both knobs are off so the optimizer
+    state stays schedule-free (checkpoint-compatible with older runs)."""
+    if cfg.lr_warmup_steps == 0 and cfg.lr_decay_steps == 0:
+        return cfg.lr
+
+    def schedule(step):
+        lr = jnp.asarray(cfg.lr, jnp.float32)
+        if cfg.lr_warmup_steps > 0:
+            lr = lr * jnp.minimum(
+                jnp.asarray(step, jnp.float32) / cfg.lr_warmup_steps, 1.0
+            )
+        if cfg.lr_decay_steps > 0:
+            lr = jnp.where(
+                step >= cfg.lr_decay_steps, lr * cfg.lr_decay_factor, lr
+            )
+        return lr
+
+    return schedule
+
+
 def create_train_state(model, cfg: TrainConfig, rng: Optional[Array] = None):
     """Initialize params/stats/optimizer. Returns (state, optimizer)."""
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
     rng, init_key = jax.random.split(rng)
     params, stats = model.init(init_key)
-    if cfg.lr_warmup_steps > 0:
-        schedule = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps)
-    else:
-        schedule = cfg.lr
+    schedule = _lr_schedule(cfg)
     chain = []
     if cfg.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))

@@ -183,3 +183,62 @@ def test_scanned_step_matches_sequential(setup):
     np.testing.assert_allclose(
         np.asarray(aux["disparity"]), np.asarray(seq_aux["disparity"]), atol=2e-5
     )
+
+
+def test_lr_schedule_warmup_decay():
+    """Warmup matches optax.linear_schedule exactly; the one-time step decay
+    multiplies by lr_decay_factor at lr_decay_steps (training/state.py
+    _lr_schedule). Both knobs off returns the plain float so the optimizer
+    state stays schedule-free (checkpoint compat with pre-decay runs)."""
+    import optax
+
+    from monodepth2_tpu.training.state import _lr_schedule
+
+    def close(a, b, rtol=1e-6):
+        return abs(a - b) <= rtol * max(abs(a), abs(b), 1e-30)
+
+    assert _lr_schedule(_tiny_cfg()) == 1e-4
+
+    s = _lr_schedule(_tiny_cfg(lr_warmup_steps=100))
+    ref = optax.linear_schedule(0.0, 1e-4, 100)
+    for t in [0, 1, 50, 99, 100, 500]:
+        assert close(float(s(jnp.asarray(t))), float(ref(t)))
+
+    s = _lr_schedule(_tiny_cfg(lr_decay_steps=1000, lr_decay_factor=0.1))
+    assert close(float(s(jnp.asarray(999))), 1e-4)
+    assert close(float(s(jnp.asarray(1000))), 1e-5)
+
+    s = _lr_schedule(_tiny_cfg(lr_warmup_steps=10, lr_decay_steps=1000))
+    assert close(float(s(jnp.asarray(5))), 5e-5)
+    assert close(float(s(jnp.asarray(2000))), 1e-5)
+
+
+def test_lr_decay_shrinks_update_magnitude():
+    """A post-decay Adam step moves params ~lr_decay_factor as far as a
+    pre-decay step from the same state (end-to-end through the jitted
+    train step at the decay boundary)."""
+    cfg = _tiny_cfg(lr_decay_steps=2, lr_decay_factor=0.1)
+    model = Model.create(in_channels=cfg.in_channels, scale_levels=cfg.scale_levels)
+    state, tx = create_train_state(model, cfg)
+    ctx = _ctx(cfg)
+    step = jax.jit(make_train_step(model, tx, ctx, cfg))
+    batch = _fake_batch(cfg)
+
+    def l2_move(a, b):
+        return float(
+            sum(
+                jnp.sum((x - y) ** 2)
+                for x, y in zip(
+                    jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+                )
+            )
+            ** 0.5
+        )
+
+    s1, _, _ = step(state, batch)      # step 0->1, lr
+    s2, _, _ = step(s1, batch)         # step 1->2, lr
+    s3, _, _ = step(s2, batch)         # step 2->3, lr*0.1 (past boundary)
+    pre = l2_move(s2.params, s1.params)
+    post = l2_move(s3.params, s2.params)
+    # Adam's unit-scaled updates make the move ~proportional to lr
+    assert post < 0.35 * pre, (pre, post)

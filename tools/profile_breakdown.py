@@ -100,10 +100,17 @@ def main():
     full_step = make_train_step(model, tx, ctx, cfg)
 
     def full(params, frames):
+        # Keep EVERY new-state leaf live: summing a single leaf (the r2
+        # probe) lets XLA dead-code-eliminate most of the Adam update and
+        # the backward slices feeding it, under-reporting the step by
+        # ~4 ms (see tools/scan_gap_bench.py const_dce vs const_all).
         st = state._replace(params=params)
         new_state, metrics, _ = full_step(st, frames)
-        return metrics["loss"] + 0.0 * jnp.sum(
-            jax.tree_util.tree_leaves(new_state.params)[0]
+        return metrics["loss"] + 1e-20 * sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(
+                (new_state.params, new_state.opt_state)
+            )
         )
 
     blocks = [

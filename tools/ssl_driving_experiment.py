@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--grad-clip", type=float, default=0.0)
     ap.add_argument("--lr-warmup", type=int, default=0)
+    ap.add_argument("--lr-decay-steps", type=int, default=0)
+    ap.add_argument("--lr-decay-factor", type=float, default=0.1)
     ap.add_argument("--smoothness", type=float, default=1e-3)
     ap.add_argument("--min-depth", type=float, default=0.1)
     ap.add_argument("--max-depth", type=float, default=100.0)
@@ -85,6 +87,8 @@ def main():
         seed=args.seed,
         grad_clip=args.grad_clip,
         lr_warmup_steps=args.lr_warmup,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_decay_factor=args.lr_decay_factor,
         disparity_smoothness=args.smoothness,
         min_depth=args.min_depth,
         max_depth=args.max_depth,
@@ -223,6 +227,20 @@ def main():
                 with open(history_path, "w") as f:
                     json.dump(history, f, indent=1)
                 print(json.dumps(rec), flush=True)
+                # Checkpoint at every eval point (keep only the latest two)
+                # so a killed run resumes from here instead of step 0.
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"ckpt-{done}"), state,
+                    metadata={"step": done, "config": cfg.to_json()})
+                kept = sorted(
+                    {p.split(".")[0] for p in os.listdir(ckpt_dir)
+                     if p.startswith("ckpt-")},
+                    key=lambda p: int(p.split("-")[1]))
+                for old in kept[:-2]:
+                    for ext in (".npz", ".json"):
+                        fp = os.path.join(ckpt_dir, old + ext)
+                        if os.path.exists(fp):
+                            os.remove(fp)
             if done >= args.steps:
                 break
 
