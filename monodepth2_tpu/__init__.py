@@ -16,6 +16,8 @@ Layout (TPU-first design, not a port):
   parallel/  device mesh + data-parallel sharding (jax.sharding / shard_map)
   training/  TrainState, jitted train step, checkpoint/resume, config, loop
   utils/     visualization, depth metrics (AbsRel etc.), profiling hooks
+  serving.py AOT-exported StableHLO serving artifacts (weights baked in;
+             loadable without model code — `cli.py export`)
 """
 
 __version__ = "0.1.0"

@@ -168,6 +168,23 @@ def cmd_train(args):
     print(f"done at step {int(state.step)}")
 
 
+def cmd_export(args):
+    from .eval import load_model
+    from .serving import export_inference
+
+    cfg = _build_config(args)
+    model, params, stats = load_model(cfg, args.checkpoint)
+    platforms = tuple(args.platforms.split(","))
+    export_inference(
+        model, params, stats, cfg, args.out,
+        platforms=platforms,
+        batch_size=args.batch if args.batch and args.batch > 0 else None,
+    )
+    print(f"exported {args.out} ({os.path.getsize(args.out)} bytes, "
+          f"platforms={','.join(platforms)}, "
+          f"batch={'symbolic' if not args.batch else args.batch})")
+
+
 def cmd_eval_image(args):
     from .eval import eval_images
 
@@ -322,6 +339,18 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int)
     p.add_argument("--progress", action="store_true", help="live tqdm bar")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-export a serving artifact (StableHLO, weights baked in)")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", default="depth.mdtpu")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--batch", type=int, default=0,
+                   help="fixed batch size (0 = symbolic, any N at serve time)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("eval-image", help="directory inference")
     _add_config_args(p)

@@ -1,0 +1,126 @@
+"""AOT-exported serving artifacts (jax.export / StableHLO).
+
+The reference's only deployment story is BSON.load of the whole Flux model
+into a fresh Julia session (src/Monodepth.jl:207-208) — inference requires
+the full training stack. A TPU-native framework serves from a compiler
+artifact instead: `export_inference` ahead-of-time lowers the jitted
+disparity+depth inference function to serialized StableHLO with the weights
+baked in as constants, producing a single self-contained file that any JAX
+process (CPU or TPU, no model code, no checkpoint plumbing) can
+`load_inference` and call. The batch dimension is exported symbolically so
+one artifact serves any batch size.
+
+Format: `<path>` is a zip with `model.stablehlo` (jax.export bytes) and
+`meta.json` (input spec + depth-range metadata for clients).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import Model
+from .ops.geometry import disparity_to_depth
+from .training.config import TrainConfig
+
+_ARTIFACT = "model.stablehlo"
+_META = "meta.json"
+
+
+def make_inference_fn(model: Model, params, stats, cfg: TrainConfig):
+    """Pure (x) -> {"disparity", "depth"} closing over weights.
+
+    x: (N, H, W, C) float32 in [0, 1]. disparity: (N, H, W, 1) sigmoid
+    output at the finest scale; depth: metric-up-to-scale via
+    disparity_to_depth (reference src/utils.jl:175-179).
+    """
+
+    def infer(x):
+        disp = model.eval_disparity(params, stats, x)[-1]
+        return {
+            "disparity": disp,
+            "depth": disparity_to_depth(disp, cfg.min_depth, cfg.max_depth),
+        }
+
+    return infer
+
+
+def export_inference(
+    model: Model,
+    params,
+    stats,
+    cfg: TrainConfig,
+    path: str,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    batch_size: Optional[int] = None,
+) -> None:
+    """Serialize the inference function to `path` (zip: StableHLO + meta).
+
+    `batch_size=None` exports a symbolic batch dimension (one artifact, any
+    N at serve time); pass an int to pin it (slightly faster serve-time
+    compile, and a fallback if a future op rejects symbolic shapes).
+    """
+    infer = make_inference_fn(model, params, stats, cfg)
+    h, w, c = cfg.height, cfg.width, cfg.in_channels
+    if batch_size is None:
+        (b,) = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((batch_size, h, w, c), jnp.float32)
+    exported = jax.export.export(jax.jit(infer), platforms=list(platforms))(spec)
+    blob = exported.serialize()
+    meta = {
+        "input_shape": [batch_size, h, w, c],
+        "input_dtype": "float32",
+        "outputs": ["disparity", "depth"],
+        "min_depth": cfg.min_depth,
+        "max_depth": cfg.max_depth,
+        "platforms": list(platforms),
+        "encoder_depth": cfg.encoder_depth,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_ARTIFACT, blob)
+        z.writestr(_META, json.dumps(meta, indent=2))
+    os.replace(tmp, path)
+
+
+class ServedModel:
+    """A loaded artifact: callable, no model code or checkpoint needed."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, x) -> dict:
+        """x: (N, H, W, C) float32 in [0,1] -> dict of device arrays."""
+        x = jnp.asarray(x, jnp.float32)
+        want = self.meta["input_shape"]
+        if list(x.shape[1:]) != want[1:]:
+            raise ValueError(
+                f"input {x.shape} incompatible with exported spec "
+                f"(N, {want[1]}, {want[2]}, {want[3]})"
+            )
+        if want[0] is not None and x.shape[0] != want[0]:
+            raise ValueError(
+                f"artifact was exported with fixed batch {want[0]}, "
+                f"got {x.shape[0]}"
+            )
+        return self._call(x)
+
+
+def load_inference(path: str) -> ServedModel:
+    """Deserialize an `export_inference` artifact."""
+    with zipfile.ZipFile(path) as z:
+        blob = z.read(_ARTIFACT)
+        meta = json.loads(z.read(_META))
+    return ServedModel(jax.export.deserialize(blob), meta)

@@ -1,0 +1,62 @@
+"""Serving-artifact tests (serving.py): AOT export -> load -> call parity.
+
+The reference has no deployment artifact (BSON.load of the whole Flux model,
+src/Monodepth.jl:207-208); here the contract is that a serialized StableHLO
+artifact reproduces live-model inference without model code or checkpoints.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monodepth2_tpu.models import Model
+from monodepth2_tpu.serving import (
+    export_inference,
+    load_inference,
+    make_inference_fn,
+)
+from monodepth2_tpu.training.config import TrainConfig
+from monodepth2_tpu.training.state import create_train_state
+
+pytestmark = pytest.mark.slow  # export AOT-lowers the full encoder (~min on CPU)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    """One tiny-model export shared by every test in the module."""
+    cfg = TrainConfig(target_size=(64, 32), in_channels=1)
+    model = Model.create(depth=18, in_channels=1, scale_levels=cfg.scale_levels)
+    state, _ = create_train_state(model, cfg)
+    p = str(tmp_path_factory.mktemp("serving") / "depth.mdtpu")
+    export_inference(model, state.params, state.stats, cfg, p, platforms=("cpu",))
+    return cfg, model, state, p
+
+
+def test_export_load_roundtrip_symbolic_batch(artifact):
+    """One artifact (symbolic batch dim) serves any N; outputs match the
+    live model to fp32 fusion tolerance."""
+    cfg, model, state, p = artifact
+    assert os.path.getsize(p) > 1_000_000  # weights are baked in
+
+    served = load_inference(p)
+    assert served.meta["outputs"] == ["disparity", "depth"]
+    live = make_inference_fn(model, state.params, state.stats, cfg)
+    rng = np.random.default_rng(0)
+    for n in (1, 3):
+        x = rng.uniform(size=(n, cfg.height, cfg.width, 1)).astype(np.float32)
+        out = served(x)
+        ref = live(jnp.asarray(x))
+        assert out["disparity"].shape == (n, cfg.height, cfg.width, 1)
+        for k in ("disparity", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=0, atol=1e-5
+            )
+
+
+def test_served_model_rejects_wrong_spatial_shape(artifact):
+    cfg, _, _, p = artifact
+    served = load_inference(p)
+    with pytest.raises(ValueError, match="incompatible"):
+        served(np.zeros((1, cfg.height * 2, cfg.width, 1), np.float32))
