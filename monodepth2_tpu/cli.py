@@ -26,6 +26,10 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float)
     p.add_argument("--epochs", type=int)
     p.add_argument("--width", type=int)
+    p.add_argument("--encoder-depth", type=int, choices=[18, 34, 50],
+                   help="ResNet encoder variant")
+    p.add_argument("--in-channels", type=int,
+                   help="input channels (1=grayscale, 3=RGB)")
     p.add_argument("--height", type=int)
     p.add_argument("--automasking", action="store_true", default=None)
     p.add_argument("--min-depth", type=float)
@@ -73,6 +77,8 @@ def _build_config(args) -> "TrainConfig":
         ("max_depth", "max_depth"),
         ("grad_clip", "grad_clip"),
         ("lr_warmup_steps", "lr_warmup_steps"),
+        ("encoder_depth", "encoder_depth"),
+        ("in_channels", "in_channels"),
         ("lr_decay_steps", "lr_decay_steps"),
         ("lr_decay_factor", "lr_decay_factor"),
         ("disp_reg", "disp_reg"),

@@ -1,0 +1,99 @@
+"""Serving-path throughput: exported StableHLO artifact vs live jit.
+
+Measures batched disparity+depth inference (the `cli.py eval-*` / serving.py
+deployment path) on the current default device. Timing follows CLAUDE.md's
+TPU rule: chain a data dependency across iterations and float() the final
+result (block_until_ready lies through the remote tunnel).
+
+Usage:
+    python tools/serving_bench.py [--batch 64] [--iters 20] [--width 416]
+        [--height 128] [--export /tmp/serve.mdtpu]
+Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--export", default="/tmp/serve_bench.mdtpu")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from monodepth2_tpu.models import Model
+    from monodepth2_tpu.serving import (
+        export_inference,
+        load_inference,
+        make_inference_fn,
+    )
+    from monodepth2_tpu.training.config import TrainConfig
+    from monodepth2_tpu.training.state import create_train_state
+
+    cfg = TrainConfig(target_size=(args.width, args.height), in_channels=1)
+    model = Model.create(depth=18, in_channels=1, scale_levels=cfg.scale_levels)
+    state, _ = create_train_state(model, cfg)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.uniform(size=(args.batch, cfg.height, cfg.width, 1)), jnp.float32
+    )
+
+    def timed(tag, call):
+        # warmup/compile, then a chained loop so nothing overlaps the clock
+        out = call(x)
+        _ = float(jnp.sum(out["depth"]))
+        t0 = time.perf_counter()
+        carry = x
+        for _ in range(args.iters):
+            out = call(carry)
+            # data dependency: next input depends on this output
+            carry = x + 0.0 * out["depth"][:, :1, :1, :1].mean()
+        _ = float(jnp.sum(out["depth"]))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(
+            json.dumps(
+                {
+                    "tag": tag,
+                    "batch": args.batch,
+                    "ms_per_batch": round(dt * 1e3, 3),
+                    "img_per_s": round(args.batch / dt, 1),
+                }
+            ),
+            flush=True,
+        )
+
+    live = jax.jit(make_inference_fn(model, state.params, state.stats, cfg))
+    timed("live_jit", live)
+
+    platform = jax.devices()[0].platform
+    platforms = ("cpu",) if platform == "cpu" else ("tpu", "cpu")
+    export_inference(
+        model, state.params, state.stats, cfg, args.export, platforms=platforms
+    )
+    print(f"artifact: {os.path.getsize(args.export)} bytes", flush=True)
+    served = load_inference(args.export)
+    timed("served_artifact", served)
+
+
+if __name__ == "__main__":
+    main()
