@@ -35,14 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_odometry_calib(path: str):
-    """calib.txt -> (P (3,4) for the chosen cam, Tr (4,4) velo->cam0)."""
+    """calib.txt -> dict of flat float arrays keyed by calib tag
+    ("P0".."P3" are flattened (3,4) cam projections, "Tr" the flattened
+    (3,4) velo->cam0 transform); callers reshape."""
     vals = {}
     with open(path) as f:
         for line in f:
             if ":" not in line:
                 continue
             k, v = line.split(":", 1)
-            vals[k.strip()] = np.fromstring(v, sep=" ")
+            vals[k.strip()] = np.array(v.split(), np.float64)
     return vals
 
 
@@ -102,10 +104,8 @@ def export_sequence(
     P = calib[f"P{cam}"].reshape(3, 4)
     Tr = np.eye(4)
     Tr[:3, :4] = calib["Tr"].reshape(3, 4)
-    if cam in (2, 3):
-        # odometry P2/P3 include the stereo baseline in P[0,3]; the
-        # projection handles it via the homogeneous multiply, nothing extra
-        pass
+    # (odometry P2/P3 include the stereo baseline in P[0,3]; the projection
+    # handles it via the homogeneous multiply, nothing extra to do)
 
     img_dir = os.path.join(seq_dir, f"image_{cam}")
     velo_dir = os.path.join(seq_dir, "velodyne")

@@ -195,6 +195,9 @@ def main():
     ck = latest_checkpoint(ckpt_dir)
     if ck is not None:
         state = load_checkpoint(ck, state)
+        # drop any history rows past the resumed step (written by a run
+        # that died after the row but before its next checkpoint)
+        history = [r for r in history if r["step"] <= int(state.step)]
         print(f"resumed from {ck} at step {int(state.step)}", flush=True)
     print(f"baseline (constant disparity): {json.dumps(const)}", flush=True)
 
@@ -223,15 +226,18 @@ def main():
                     "t_dir_err_deg": round(tdir_err, 2),
                     "elapsed_s": round(time.time() - t0, 1),
                 }
+                # Checkpoint FIRST, then the history row: a kill between
+                # the two leaves a checkpoint without its row (harmlessly
+                # re-evaluated on resume), never a history row ahead of the
+                # newest checkpoint (which a resumed run would duplicate
+                # with conflicting metrics).
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"ckpt-{done}"), state,
+                    metadata={"step": done, "config": cfg.to_json()})
                 history.append(rec)
                 with open(history_path, "w") as f:
                     json.dump(history, f, indent=1)
                 print(json.dumps(rec), flush=True)
-                # Checkpoint at every eval point (keep only the latest two)
-                # so a killed run resumes from here instead of step 0.
-                save_checkpoint(
-                    os.path.join(ckpt_dir, f"ckpt-{done}"), state,
-                    metadata={"step": done, "config": cfg.to_json()})
                 kept = sorted(
                     {p.split(".")[0] for p in os.listdir(ckpt_dir)
                      if p.startswith("ckpt-")},
