@@ -247,6 +247,14 @@ def main():
                         fp = os.path.join(ckpt_dir, old + ext)
                         if os.path.exists(fp):
                             os.remove(fp)
+                # a killed writer can leave a half-written tmp behind (the
+                # os.replace promotion never ran — by design it cannot
+                # corrupt a real checkpoint); sweep stale ones
+                for fn in os.listdir(ckpt_dir):
+                    if fn.endswith(".tmp.npz") and not fn.startswith(
+                        f"ckpt-{done}"
+                    ):
+                        os.remove(os.path.join(ckpt_dir, fn))
             if done >= args.steps:
                 break
 
