@@ -153,12 +153,17 @@ def cmd_train(args):
     # TPU pod auto-detect) — see parallel/distributed.py
     from .parallel import initialize_distributed, make_mesh
 
+    env_configured = any(
+        v in os.environ
+        for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID")
+    )
     multi = initialize_distributed(
         coordinator_address=args.coordinator or None,
         num_processes=args.num_processes,
         process_id=args.process_id,
-    ) if (args.distributed or args.coordinator
-          or "JAX_COORDINATOR_ADDRESS" in os.environ) else False
+        auto=args.distributed,  # bare --distributed = pod auto-detect
+    ) if (args.distributed or args.coordinator or env_configured) else False
 
     from .training.loop import fit
 

@@ -72,10 +72,17 @@ class DataLoader:
         self.epoch += 1
         epoch = self.epoch
 
+        owns_rng = getattr(self.dataset, "owns_rng", False)
+
         def load_one(idx: int) -> np.ndarray:
             # per-item generator: thread-safe under the worker pool AND
             # reproducible independent of num_workers (a single shared
-            # Generator is neither — numpy Generators are not thread-safe)
+            # Generator is neither — numpy Generators are not thread-safe).
+            # Datasets that derive their own rng (PerHostSampler keys it on
+            # the GLOBAL index for process-layout invariance) declare
+            # owns_rng=True and the loader skips constructing one.
+            if owns_rng:
+                return self.dataset[int(idx)]
             rng = np.random.default_rng([self.seed, epoch, int(idx)])
             try:
                 return self.dataset.__getitem__(int(idx), rng)

@@ -27,13 +27,31 @@ from .utils.viz import save_disparity
 
 
 def load_model(cfg: TrainConfig, checkpoint_path: str):
-    """Rebuild model + restore checkpointed params/stats for inference."""
+    """Rebuild model + restore checkpointed params/stats for inference.
+
+    The TrainState template must match the TRAINING-time structure — the
+    optax chain's treedef depends on grad_clip / lr schedules, so an
+    inference invocation that omits `--grad-clip` would otherwise build a
+    mismatched template and trip the checkpoint fingerprint check. The
+    sidecar records the training config (training/loop.py save_checkpoint
+    metadata); build the template from it when present and keep the
+    caller's cfg for inference-side parameters only.
+    """
+    import json as _json
+
+    tmpl_cfg = cfg
+    meta_path = checkpoint_path + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if "config" in meta:
+            tmpl_cfg = TrainConfig.from_json(meta["config"])
     model = Model.create(
-        depth=cfg.encoder_depth,
-        in_channels=cfg.in_channels,
-        scale_levels=cfg.scale_levels,
+        depth=tmpl_cfg.encoder_depth,
+        in_channels=tmpl_cfg.in_channels,
+        scale_levels=tmpl_cfg.scale_levels,
     )
-    state, _ = create_train_state(model, cfg)
+    state, _ = create_train_state(model, tmpl_cfg)
     state = load_checkpoint(checkpoint_path, state)
     return model, state.params, state.stats
 

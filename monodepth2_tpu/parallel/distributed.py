@@ -26,12 +26,17 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> bool:
     """Initialize multi-process JAX when configured; no-op otherwise.
 
     Configuration comes from the arguments or the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; on Cloud
-    TPU pods jax.distributed.initialize() also auto-detects with no args).
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). With
+    `auto=True` and no explicit configuration, the call is forwarded to
+    bare `jax.distributed.initialize()` so Cloud TPU pods auto-detect their
+    topology — and a non-pod environment fails loudly instead of silently
+    training N independent single-process jobs (the trap the earlier
+    `return False` guard created for `cli train --distributed`).
     Returns True if a multi-process runtime was initialized.
     """
     coordinator_address = coordinator_address or os.environ.get(
@@ -42,7 +47,10 @@ def initialize_distributed(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        return False  # single-process
+        if not auto:
+            return False  # single-process
+        jax.distributed.initialize()  # pod auto-detect (raises off-pod)
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -153,7 +161,11 @@ class PerHostSampler:
             self._order_epoch = self.epoch
         return self._order
 
-    def __getitem__(self, i: int, rng=None):
+    # the sampler derives its own per-item rng (below); DataLoader skips
+    # constructing one per item when it sees this flag
+    owns_rng = True
+
+    def __getitem__(self, i: int):
         """Local item i -> the matching row of the global shuffled order.
 
         The augmentation RNG passed down is derived from the GLOBAL index

@@ -81,6 +81,9 @@ def _mesh_key(mesh):
     )
 
 
+_BARRIER_SEQ = 0
+
+
 def _build_step(model, tx, ctx, cfg, mesh, spc):
     key = (cfg, np.asarray(ctx.K).tobytes(), _mesh_key(mesh), spc)
     hit = _STEP_CACHE.get(key)
@@ -158,44 +161,14 @@ def fit(
                 print(f"resumed from {ck} at step {int(state.step)}")
 
     multi_process = jax.process_count() > 1
+    # only process 0 writes shared artifacts (checkpoints, metrics.jsonl,
+    # viz PNGs): state is replicated, and concurrent writers on a shared
+    # filesystem would collide on the identical ckpt-N.tmp.npz path,
+    # promoting a half-written file
+    is_writer = jax.process_index() == 0
     spc = max(1, int(cfg.steps_per_call))
     step = _build_step(model, tx, ctx, cfg, mesh, spc)
 
-    if multi_process and mesh is not None:
-        # Compile BEFORE the first dispatch, then meet at a coordination-
-        # service barrier. Without this, compile-time skew between processes
-        # (one loads a persistently-cached executable in seconds while
-        # another compiles for minutes — or concurrent fresh compiles skew
-        # under CPU contention) exceeds the ~30 s timeout on the first
-        # collective's Gloo/ICI context formation, and the whole pod dies in
-        # GetKeyValue() DEADLINE_EXCEEDED. The barrier rides the coordination
-        # service (plain TCP to the coordinator), not device collectives, so
-        # it is immune to that timeout.
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        bshape = (cfg.batch_size, 3, cfg.height, cfg.width, cfg.in_channels)
-        spec = P("data")
-        if spc > 1:
-            bshape = (spc,) + bshape
-            spec = P(None, "data")
-        sds = jax.ShapeDtypeStruct(
-            bshape, jnp.float32, sharding=NamedSharding(mesh, spec)
-        )
-        step.lower(state, sds).compile()
-        from jax._src import distributed as _distributed
-
-        if _distributed.global_state.client is not None:
-            _distributed.global_state.client.wait_at_barrier(
-                f"fit_compiled_{int(state.step)}", timeout_in_ms=1_800_000
-            )
-
-    os.makedirs(cfg.log_dir, exist_ok=True)
-    os.makedirs(cfg.save_dir, exist_ok=True)
-
-    if cfg.debug_nans:
-        jax.config.update("jax_debug_nans", True)
-
-    timer = StepTimer()
     if mesh is not None:
         # each host loads only its rows of every global batch (SURVEY §2c:
         # "each host feeds its addressable devices"); the sampler owns the
@@ -213,6 +186,53 @@ def fit(
             dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
         )
     steps_per_epoch = len(loader)
+
+    if multi_process and mesh is not None:
+        # Compile BEFORE the first dispatch, then meet at a coordination-
+        # service barrier. Without this, compile-time skew between processes
+        # (one loads a persistently-cached executable in seconds while
+        # another compiles for minutes — or concurrent fresh compiles skew
+        # under CPU contention) exceeds the ~30 s timeout on the first
+        # collective's Gloo/ICI context formation, and the whole pod dies in
+        # GetKeyValue() DEADLINE_EXCEEDED. The barrier rides the coordination
+        # service (plain TCP to the coordinator), not device collectives, so
+        # it is immune to that timeout.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bshape = (cfg.batch_size, 3, cfg.height, cfg.width, cfg.in_channels)
+        spec = P("data")
+        if spc > 1:
+            # precompile the shape the FIRST dispatch will actually use: when
+            # the epoch yields fewer than spc batches every group is a short
+            # tail, and compiling the never-used (spc, ...) shape would leave
+            # that first dispatch's fresh compile outside the barrier
+            k0 = min(spc, steps_per_epoch) if steps_per_epoch else spc
+            bshape = (k0,) + bshape
+            spec = P(None, "data")
+        sds = jax.ShapeDtypeStruct(
+            bshape, jnp.float32, sharding=NamedSharding(mesh, spec)
+        )
+        step.lower(state, sds).compile()
+        from jax._src import distributed as _distributed
+
+        if _distributed.global_state.client is not None:
+            # barrier ids must be unique per use; two fit() calls resuming
+            # from the same step would otherwise reuse one (the counter
+            # advances identically on every process — same call sequence)
+            global _BARRIER_SEQ
+            _BARRIER_SEQ += 1
+            _distributed.global_state.client.wait_at_barrier(
+                f"fit_compiled_{int(state.step)}_{_BARRIER_SEQ}",
+                timeout_in_ms=1_800_000,
+            )
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    timer = StepTimer()
     # epoch-position resume: the shuffle is a pure function of (seed, epoch)
     # and step counts batches, so (epoch, batch cursor) is recoverable from
     # step alone — no epoch is retrained and the data order continues exactly
@@ -297,14 +317,15 @@ def fit(
                 ips = timer.images_per_sec(cfg.batch_size * k_done)
                 # durable metrics stream (reference only has a live progress
                 # bar, src/Monodepth.jl:196); one JSON object per line
-                with open(
-                    os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
-                ) as mf:
-                    mf.write(json.dumps({
-                        "step": log_step, "epoch": epoch, "loss": loss,
-                        "mean_disparity": mean_disp,
-                        "img_per_sec": round(ips, 1), "ts": time.time(),
-                    }) + "\n")
+                if is_writer:
+                    with open(
+                        os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
+                    ) as mf:
+                        mf.write(json.dumps({
+                            "step": log_step, "epoch": epoch, "loss": loss,
+                            "mean_disparity": mean_disp,
+                            "img_per_sec": round(ips, 1), "ts": time.time(),
+                        }) + "\n")
                 if progress and hasattr(batches, "set_postfix"):
                     batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
                 if verbose and not progress:
@@ -312,15 +333,21 @@ def fit(
                         f"epoch {epoch + 1}/{cfg.epochs} step {global_step} "
                         f"loss {loss:.5f} {ips:.1f} img/s"
                     )
-                disp = np.asarray(aux["disparity"][0, ..., 0])
-                save_disparity(disp, os.path.join(cfg.log_dir, f"disp-{global_step}.png"))
-                for sid, w in enumerate(aux["warped"]):
-                    save_warped(
-                        np.asarray(w[0]),
-                        os.path.join(cfg.log_dir, f"warp-{global_step}-{sid}.png"),
+                if is_writer:
+                    disp = np.asarray(aux["disparity"][0, ..., 0])
+                    save_disparity(
+                        disp,
+                        os.path.join(cfg.log_dir, f"disp-{global_step}.png"),
                     )
+                    for sid, w in enumerate(aux["warped"]):
+                        save_warped(
+                            np.asarray(w[0]),
+                            os.path.join(
+                                cfg.log_dir, f"warp-{global_step}-{sid}.png"
+                            ),
+                        )
 
-            if _crossed(cfg.save_every, global_step, k_done):
+            if _crossed(cfg.save_every, global_step, k_done) and is_writer:
                 last_loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
                 save_checkpoint(
                     os.path.join(cfg.save_dir, f"ckpt-{global_step}"),
@@ -333,9 +360,10 @@ def fit(
                 done = True
                 break
 
-    save_checkpoint(
-        os.path.join(cfg.save_dir, f"ckpt-{int(state.step)}"),
-        state,
-        metadata={"step": int(state.step), "config": cfg.to_json()},
-    )
+    if is_writer:
+        save_checkpoint(
+            os.path.join(cfg.save_dir, f"ckpt-{int(state.step)}"),
+            state,
+            metadata={"step": int(state.step), "config": cfg.to_json()},
+        )
     return state, model

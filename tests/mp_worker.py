@@ -81,6 +81,15 @@ def main():
         cfg, dataset, mesh=mesh, resume=False, verbose=False,
         max_steps=args.max_steps,
     )
+    # fit() itself only writes checkpoints on process 0 (shared-filesystem
+    # safety); each worker saves its OWN final state here so the parent test
+    # can assert the replicated state is identical across processes.
+    from monodepth2_tpu.training.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(cfg.save_dir, f"ckpt-{int(state.step)}"), state,
+        metadata={"step": int(state.step)},
+    )
     print(f"proc {pid}: done at step {int(state.step)}", flush=True)
     return 0
 

@@ -117,3 +117,34 @@ def test_legacy_checkpoint_without_fingerprint_loads(tmp_path):
         jax.tree_util.tree_leaves(s), jax.tree_util.tree_leaves(restored)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inference_load_across_optimizer_structure(tmp_path):
+    """A checkpoint trained with grad_clip (extra optax chain element) must
+    load for inference even when the eval invocation omits it: load_model
+    rebuilds its template from the sidecar's recorded training config
+    (eval.py load_model), not the caller's cfg."""
+    from monodepth2_tpu.eval import load_model
+    from monodepth2_tpu.models import Model
+    from monodepth2_tpu.training.config import TrainConfig
+    from monodepth2_tpu.training.state import create_train_state
+
+    train_cfg = TrainConfig(target_size=(64, 32), grad_clip=1.0)
+    model = Model.create(
+        depth=train_cfg.encoder_depth,
+        in_channels=train_cfg.in_channels,
+        scale_levels=train_cfg.scale_levels,
+    )
+    state, _ = create_train_state(model, train_cfg)
+    path = str(tmp_path / "ckpt-7")
+    save_checkpoint(
+        path, state, metadata={"step": 7, "config": train_cfg.to_json()}
+    )
+
+    eval_cfg = TrainConfig(target_size=(64, 32))  # no grad_clip
+    m2, params, stats = load_model(eval_cfg, path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -367,3 +367,18 @@ def test_step_cache_mesh_key_is_content_based():
     m4 = make_mesh(4)
     assert _mesh_key(m4) != _mesh_key(m1)
     assert _mesh_key(None) is None
+
+
+def test_initialize_distributed_auto_semantics():
+    """Unconfigured + auto=False stays a quiet single-process no-op; an
+    explicit --distributed request (auto=True) must NOT silently fall back
+    to N independent single-process jobs — it forwards to bare
+    jax.distributed.initialize() for pod auto-detection, which raises
+    loudly off-pod (this box)."""
+    import pytest as _pytest
+
+    from monodepth2_tpu.parallel import initialize_distributed
+
+    assert initialize_distributed() is False
+    with _pytest.raises(Exception):
+        initialize_distributed(auto=True)
