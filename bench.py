@@ -12,11 +12,67 @@ installed here). North star (BASELINE.json): ≥10× that.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_CPU_IMG_PER_SEC = 1.20  # torch-CPU proxy, this host, BASELINE.md
+
+METRIC = "kitti_416x128_train_images_per_sec_per_chip"
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((8, 8));"
+    "print('PROBE_OK', float((x @ x).sum()))"
+)
+
+
+def _fail_json(err: Exception | str, retryable: bool = True) -> dict:
+    return {
+        "metric": METRIC,
+        "value": None,
+        "unit": "img/s",
+        "vs_baseline": None,
+        "error": str(err)[:500],
+        "retryable": retryable,
+    }
+
+
+def probe_device(budget_s: float = 900.0, attempt_s: float = 240.0) -> None:
+    """Wait for a healthy device before committing to the full bench.
+
+    The device grant can be UNAVAILABLE for minutes-to-hours (CLAUDE.md);
+    round 3's official bench artifact was lost because bench.py initialized
+    the backend cold and crashed on the first touch. Probe with a tiny jit
+    in a SUBPROCESS (backend-init failures are cached per process, so a
+    retry must start fresh) and back off between attempts. A hung probe is
+    killed after attempt_s — a tiny 8x8 matmul never legitimately takes
+    that long, and a kill during backend *setup* does not hold a grant
+    (only kills mid-compile/mid-execute wedge it, CLAUDE.md).
+
+    Raises RuntimeError when the budget is exhausted.
+    """
+    deadline = time.time() + budget_s
+    delay, last = 20.0, "no attempt"
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=attempt_s,
+            )
+            if "PROBE_OK" in r.stdout:
+                return
+            last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["rc!=0"]
+            last = last[0]
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{attempt_s:.0f}s (backend setup stall)"
+        if time.time() + delay > deadline:
+            raise RuntimeError(f"device unavailable after {budget_s:.0f}s: {last}")
+        time.sleep(delay)
+        delay = min(delay * 2, 240.0)
 
 
 def main():
@@ -91,7 +147,7 @@ def main():
 
     ips = cfg.batch_size / dt
     out = {
-        "metric": "kitti_416x128_train_images_per_sec_per_chip",
+        "metric": METRIC,
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / BASELINE_CPU_IMG_PER_SEC, 2),
@@ -106,4 +162,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Always emit ONE parseable JSON line, even on infra failure
+    # (VERDICT r3 #1: BENCH_r03 was rc=1/unparseable after a grant outage).
+    try:
+        probe_device(budget_s=float(os.environ.get("BENCH_PROBE_BUDGET_S", 900)))
+    except Exception as e:  # grant outage — structured, retryable
+        print(json.dumps(_fail_json(e, retryable=True)))
+        sys.exit(0)
+    try:
+        main()
+    except Exception as e:  # mid-bench failure (probe passed, so likely a
+        # grant drop during the run) — still parseable
+        print(json.dumps(_fail_json(e, retryable=True)))
+        sys.exit(0)

@@ -49,20 +49,18 @@ def _add_config_args(p: argparse.ArgumentParser):
                         "remote-dispatch latency; see BASELINE.md)")
     p.add_argument("--bf16", action="store_true", default=None,
                    help="bfloat16 network compute (fp32 master params)")
+    p.add_argument("--fp32", action="store_true", default=None,
+                   help="force float32 compute (overrides a bf16-trained "
+                        "checkpoint's recorded compute_dtype at export/eval)")
     p.add_argument("--debug-nans", action="store_true", default=None)
     p.add_argument("--log-dir")
     p.add_argument("--save-dir")
     p.add_argument("--seed", type=int)
 
 
-def _build_config(args) -> "TrainConfig":
-    from .training import TrainConfig
-
-    base = {}
-    if args.config:
-        with open(args.config) as f:
-            base = json.loads(f.read())
-    cfg = TrainConfig.from_json(json.dumps(base)) if base else TrainConfig()
+def _cli_overrides(args) -> dict:
+    """TrainConfig fields the user EXPLICITLY set on the command line
+    (argparse defaults are None, so absence is distinguishable)."""
     overrides = {}
     for field, attr in [
         ("batch_size", "batch_size"),
@@ -91,8 +89,22 @@ def _build_config(args) -> "TrainConfig":
             overrides[field] = v
     if getattr(args, "bf16", None):
         overrides["compute_dtype"] = "bfloat16"
+    if getattr(args, "fp32", None):
+        overrides["compute_dtype"] = "float32"
     if getattr(args, "width", None) and getattr(args, "height", None):
         overrides["target_size"] = (args.width, args.height)
+    return overrides
+
+
+def _build_config(args) -> "TrainConfig":
+    from .training import TrainConfig
+
+    base = {}
+    if args.config:
+        with open(args.config) as f:
+            base = json.loads(f.read())
+    cfg = TrainConfig.from_json(json.dumps(base)) if base else TrainConfig()
+    overrides = _cli_overrides(args)
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
@@ -180,10 +192,20 @@ def cmd_train(args):
 
 
 def cmd_export(args):
-    from .eval import load_model
+    from .eval import load_model, sidecar_config
     from .serving import export_inference
 
+    # Derive the export spec + meta.json from the checkpoint's recorded
+    # training config, with CLI flags as explicit overrides (ADVICE r3:
+    # CLI-default height/width/in_channels/encoder_depth silently exported
+    # artifacts at the wrong resolution/architecture).
     cfg = _build_config(args)
+    side = sidecar_config(args.checkpoint)
+    if side is not None:
+        overrides = _cli_overrides(args)
+        # serving-irrelevant training knobs (lr, dirs, ...) stay whatever
+        # the sidecar says; only explicit flags override
+        cfg = dataclasses.replace(side, **overrides) if overrides else side
     model, params, stats = load_model(cfg, args.checkpoint)
     platforms = tuple(args.platforms.split(","))
     export_inference(

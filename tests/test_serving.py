@@ -60,3 +60,33 @@ def test_served_model_rejects_wrong_spatial_shape(artifact):
     served = load_inference(p)
     with pytest.raises(ValueError, match="incompatible"):
         served(np.zeros((1, cfg.height * 2, cfg.width, 1), np.float32))
+
+
+def test_export_bf16_artifact_parity(artifact, tmp_path):
+    """cfg.compute_dtype="bfloat16" bakes a bf16 network into the artifact;
+    outputs stay fp32 and track the fp32 artifact within bf16 tolerance."""
+    import dataclasses
+
+    cfg, model, state, _ = artifact
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    p16 = str(tmp_path / "depth-bf16.mdtpu")
+    export_inference(
+        model, state.params, state.stats, cfg16, p16,
+        platforms=("cpu",), batch_size=2,
+    )
+    served16 = load_inference(p16)
+    assert served16.meta["compute_dtype"] == "bfloat16"
+    live32 = make_inference_fn(model, state.params, state.stats, cfg)
+    x = np.random.default_rng(1).uniform(size=(2, cfg.height, cfg.width, 1))
+    x = x.astype(np.float32)
+    out = served16(x)
+    ref = live32(jnp.asarray(x))
+    assert np.asarray(out["disparity"]).dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(out["disparity"]), np.asarray(ref["disparity"]),
+        rtol=0, atol=3e-2,
+    )
+    # depth is a smooth monotone map of disparity — relative check
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), rtol=0.1, atol=0
+    )
