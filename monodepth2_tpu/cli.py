@@ -44,6 +44,10 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--disp-reg-steps", type=int)
     p.add_argument("--pose-tz-init", type=float,
                    help="forward-motion prior: initial tz of the pose head")
+    p.add_argument("--per-item-k", action="store_true", default=None,
+                   help="train each item with its own camera intrinsics "
+                        "(per-sequence KITTI calibration; the reference uses "
+                        "the first sequence's K for the whole chain)")
     p.add_argument("--steps-per-call", type=int,
                    help="train steps per host dispatch (amortizes ~4ms/step "
                         "remote-dispatch latency; see BASELINE.md)")
@@ -83,6 +87,7 @@ def _cli_overrides(args) -> dict:
         ("disp_reg_steps", "disp_reg_steps"),
         ("pose_tz_init", "pose_tz_init"),
         ("steps_per_call", "steps_per_call"),
+        ("per_item_K", "per_item_k"),
     ]:
         v = getattr(args, attr, None)
         if v is not None:

@@ -29,6 +29,30 @@ class DChain:
     def __len__(self) -> int:
         return self.bins[-1]
 
+    @property
+    def heterogeneous_K(self) -> bool:
+        """True when children carry genuinely different intrinsics — the case
+        the reference's first-child-K approximation (src/Monodepth.jl:99)
+        silently miscalibrates. Feed fit(per_item_K=True) then."""
+        Ks = [np.asarray(d.K) for d in self.datasets if hasattr(d, "K")]
+        return len(Ks) == len(self.datasets) and any(
+            not np.array_equal(Ks[0], k) for k in Ks[1:]
+        )
+
+    def K_of(self, i: int) -> np.ndarray:
+        """Per-item intrinsics: the OWNING child's K (3,3) for global index i.
+
+        Children may themselves define K_of (nested chains); otherwise their
+        constant K applies to all their items."""
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        bid = bisect.bisect_right(self.bins, i)
+        local = i - (self.bins[bid - 1] if bid > 0 else 0)
+        ds = self.datasets[bid]
+        if hasattr(ds, "K_of"):
+            return np.asarray(ds.K_of(local), np.float32)
+        return np.asarray(ds.K, np.float32)
+
     def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):
         if i < 0 or i >= len(self):
             raise IndexError(i)

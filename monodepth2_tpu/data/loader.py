@@ -36,7 +36,13 @@ class DataLoader:
         num_workers: int = 2,
         prefetch: int = 4,
         drop_last: bool = True,
+        with_K: bool = False,
     ):
+        if with_K and not (hasattr(dataset, "K_of") or hasattr(dataset, "K")):
+            raise ValueError(
+                "with_K=True needs the dataset to expose K_of(i) or K"
+            )
+        self.with_K = with_K
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -73,6 +79,14 @@ class DataLoader:
         epoch = self.epoch
 
         owns_rng = getattr(self.dataset, "owns_rng", False)
+        # per-item intrinsics ride with the batch as {"frames", "K"} so each
+        # item warps with its own calibration (DChain.K_of; the reference
+        # trains a whole chain with one K, src/Monodepth.jl:99)
+        K_of = None
+        if self.with_K:
+            K_of = getattr(self.dataset, "K_of", None) or (
+                lambda i: self.dataset.K
+            )
 
         def load_one(idx: int) -> np.ndarray:
             # per-item generator: thread-safe under the worker pool AND
@@ -113,7 +127,17 @@ class DataLoader:
                         if stop_evt.is_set():
                             return
                         items = list(pool.map(load_one, idx_batch))
-                        if not put_or_stop(np.stack(items, axis=0)):
+                        batch = np.stack(items, axis=0)
+                        if K_of is not None:
+                            Ks = np.stack(
+                                [
+                                    np.asarray(K_of(int(i)), np.float32)
+                                    for i in idx_batch
+                                ],
+                                axis=0,
+                            )
+                            batch = {"frames": batch, "K": Ks}
+                        if not put_or_stop(batch):
                             return
                     put_or_stop(None)
                 except BaseException as e:  # surface worker errors to consumer
@@ -138,14 +162,19 @@ def device_prefetch(iterator, size: int = 2, device=None, dtype=None):
 
     jax.device_put is async — enqueueing the next copy before yielding the
     current batch overlaps H2D DMA with the running train step.
+
+    Batches may be arrays or pytrees ({"frames", "K"} per-item-K batches).
     """
     import collections
 
     buf = collections.deque()
 
-    def put(x):
+    def put_leaf(x):
         x = jax.numpy.asarray(x, dtype) if dtype is not None else x
         return jax.device_put(x, device)
+
+    def put(x):
+        return jax.tree_util.tree_map(put_leaf, x)
 
     it = iter(iterator)
     try:

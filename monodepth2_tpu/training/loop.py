@@ -37,15 +37,24 @@ from .state import create_train_state, make_scanned_train_step, make_train_step
 def _group_batches(iterator, k: int):
     """Stack k consecutive host batches into (k, N, ...) steps_per_call
     groups; a smaller tail group is emitted as-is (one extra compile at the
-    end of each epoch, same shape every epoch)."""
+    end of each epoch, same shape every epoch). Batches may be arrays or
+    pytrees ({"frames", "K"} per-item-K batches) — leaves stack leaf-wise."""
+    _stack = lambda bufs: jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *bufs
+    )
     buf = []
     for b in iterator:
-        buf.append(np.asarray(b))
+        buf.append(jax.tree_util.tree_map(np.asarray, b))
         if len(buf) == k:
-            yield np.stack(buf)
+            yield _stack(buf)
             buf = []
     if buf:
-        yield np.stack(buf)
+        yield _stack(buf)
+
+
+def _batch_frames(batch):
+    """The frames leaf of an array-or-{"frames","K"} batch."""
+    return batch["frames"] if isinstance(batch, dict) else batch
 
 
 def _crossed(every: int, step: int, k: int) -> bool:
@@ -217,12 +226,14 @@ def fit(
         # 1×8 run bit-comparable to a 2×4 run (tests/test_multiprocess.py)
         sampler = PerHostSampler(dataset, cfg.batch_size, seed=cfg.seed)
         loader = DataLoader(
-            sampler, sampler.per_host, shuffle=False, seed=cfg.seed
+            sampler, sampler.per_host, shuffle=False, seed=cfg.seed,
+            with_K=cfg.per_item_K,
         )
     else:
         sampler = None
         loader = DataLoader(
-            dataset, cfg.batch_size, shuffle=True, seed=cfg.seed
+            dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            with_K=cfg.per_item_K,
         )
     steps_per_epoch = len(loader)
 
@@ -255,9 +266,14 @@ def fit(
                 k0 = spc
             bshape = (k0,) + bshape
             spec = P(None, "data")
-        sds = jax.ShapeDtypeStruct(
-            bshape, jnp.float32, sharding=NamedSharding(mesh, spec)
-        )
+        sharding = NamedSharding(mesh, spec)
+        sds = jax.ShapeDtypeStruct(bshape, jnp.float32, sharding=sharding)
+        if cfg.per_item_K:
+            kshape = bshape[:-4] + (3, 3)  # (…,N,3,3): drop L,H,W,C add 3,3
+            sds = {
+                "frames": sds,
+                "K": jax.ShapeDtypeStruct(kshape, jnp.float32, sharding=sharding),
+            }
         step.lower(state, sds).compile()
         from jax._src import distributed as _distributed
 
@@ -336,7 +352,10 @@ def fit(
             if mesh is not None:
                 batch = (
                     shard_host_batch(
-                        np.asarray(batch, np.float32), mesh, stacked=spc > 1
+                        jax.tree_util.tree_map(
+                            lambda x: np.asarray(x, np.float32), batch
+                        ),
+                        mesh, stacked=spc > 1,
                     )
                     if multi_process
                     else shard_batch(batch, mesh, stacked=spc > 1)
@@ -345,7 +364,7 @@ def fit(
             timer.tick()
             global_step = int(state.step)
             # micro-steps this dispatch (tail groups may be short)
-            k_done = int(batch.shape[0]) if spc > 1 else 1
+            k_done = int(_batch_frames(batch).shape[0]) if spc > 1 else 1
 
             # retrace tripwire (SURVEY.md §5: perf-bug guard analog of
             # CUDA.allowscalar(false)) — a growing jit cache means changing

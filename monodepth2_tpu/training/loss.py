@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import upsample_bilinear
-from ..ops.geometry import backproject, compose_transform, disparity_to_depth, project
+from ..ops.geometry import (
+    backproject,
+    compose_transform,
+    disparity_to_depth,
+    invert_intrinsics,
+    project,
+)
 from ..ops.grid_sample import grid_sample
 from ..ops.losses import photometric_loss
 from .config import TrainConfig, TrainContext
@@ -36,11 +42,19 @@ def train_loss(
     auto_loss: Optional[Array] = None,
     train: bool = True,
     disp_reg_weight: Optional[Array] = None,
+    Ks: Optional[Array] = None,
 ):
     """frames (N,L,H,W,C) -> (loss, aux dict).
 
     aux carries the finest-scale disparity, warped sources, per-pixel warp
     loss (for viz/debug — reference returns the same trio) and new BN stats.
+
+    Ks (N,3,3), optional: per-item camera intrinsics. When given, each batch
+    item backprojects/projects with ITS OWN calibration instead of ctx.K —
+    KITTI's 22 odometry sequences genuinely differ in fx, and the reference
+    trains the whole chain with sequence 1's K (src/Monodepth.jl:99). The
+    cost is one adjugate inverse + swapping a shared (3,3) matmul operand
+    for a batched (N,3,3) one — noise next to the warp itself.
     """
     target = frames[:, cfg.target_id]
 
@@ -100,8 +114,15 @@ def train_loss(
     )  # (S, N, H, W, 1)
 
     depth = disparity_to_depth(disps_full, cfg.min_depth, cfg.max_depth)
+    if Ks is not None:
+        # per-item calibration: fold over scales exactly like the batch
+        Ks = Ks.astype(dtype)
+        K_t = jnp.tile(Ks, (S, 1, 1))  # (S*N,3,3)
+        invK_t = jnp.tile(invert_intrinsics(Ks), (S, 1, 1))
+    else:
+        K_t, invK_t = ctx.K, ctx.invK
     points = backproject(
-        depth.reshape(S * n, hw), ctx.invK, ctx.grid
+        depth.reshape(S * n, hw), invK_t, ctx.grid
     )  # (S*N, HW, 3)
 
     # uv for every (scale, source): tile the per-source transform over scales
@@ -109,7 +130,7 @@ def train_loss(
     for R, t in transforms:
         Rt = jnp.tile(R, (S, 1, 1))
         tt = jnp.tile(t, (S, 1, 1))
-        uvs.append(project(points, ctx.K, Rt, tt, w, h))  # (S*N, HW, 2)
+        uvs.append(project(points, K_t, Rt, tt, w, h))  # (S*N, HW, 2)
     uv_all = jnp.concatenate(uvs, axis=0)  # (Src*S*N, HW, 2)
 
     src_imgs = jnp.concatenate(

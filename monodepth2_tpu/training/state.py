@@ -88,7 +88,14 @@ def make_train_step(
     (SURVEY.md §2c; the reference is single-device and has no analog).
     """
 
-    def step_fn(state: TrainState, frames: Array):
+    def step_fn(state: TrainState, batch):
+        # batch: frames (N,L,H,W,C), or {"frames": ..., "K": (N,3,3)} when
+        # per-item intrinsics ride with the data (config.py per_item_K;
+        # the reference trains a whole DChain with one K, src/Monodepth.jl:99)
+        if isinstance(batch, dict):
+            frames, Ks = batch["frames"], batch["K"]
+        else:
+            frames, Ks = batch, None
         auto_loss = None
         if cfg.automasking:
             auto_loss = automasking_loss(
@@ -108,7 +115,7 @@ def make_train_step(
             loss, aux = train_loss(
                 model, params, state.stats, frames, ctx, cfg,
                 auto_loss=auto_loss, train=True,
-                disp_reg_weight=disp_reg_weight,
+                disp_reg_weight=disp_reg_weight, Ks=Ks,
             )
             return loss, aux
 
@@ -154,16 +161,20 @@ def make_scanned_train_step(
     """
     base = make_train_step(model, tx, ctx, cfg, axis_name)
 
-    def scanned(state: TrainState, frames_stack: Array):
+    def scanned(state: TrainState, frames_stack):
+        # frames_stack: (K,N,L,H,W,C) array or a pytree of (K,...)-leading
+        # leaves (per-item-K batches); lax.scan handles either natively.
         # first micro-step runs unrolled to shape the aux carry
-        st, m0, aux0 = base(state, frames_stack[0])
+        index = lambda i: jax.tree_util.tree_map(lambda x: x[i], frames_stack)
+        st, m0, aux0 = base(state, index(0))
 
         def body(carry, frames):
             st, _ = carry
             st2, metrics, aux = base(st, frames)
             return (st2, aux), metrics
 
-        (final_state, aux), ms = jax.lax.scan(body, (st, aux0), frames_stack[1:])
+        rest = jax.tree_util.tree_map(lambda x: x[1:], frames_stack)
+        (final_state, aux), ms = jax.lax.scan(body, (st, aux0), rest)
         metrics = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), m0, ms
         )

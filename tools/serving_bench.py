@@ -82,17 +82,23 @@ def main():
             flush=True,
         )
 
-    live = jax.jit(make_inference_fn(model, state.params, state.stats, cfg))
-    timed("live_jit", live)
-
     platform = jax.devices()[0].platform
     platforms = ("cpu",) if platform == "cpu" else ("tpu", "cpu")
-    export_inference(
-        model, state.params, state.stats, cfg, args.export, platforms=platforms
-    )
-    print(f"artifact: {os.path.getsize(args.export)} bytes", flush=True)
-    served = load_inference(args.export)
-    timed("served_artifact", served)
+    # fp32 and bf16 (eval.py/serving.py compute_dtype knob, VERDICT r3 #5):
+    # the published serving number must match a SHIPPED path, both ways
+    import dataclasses
+
+    for dtype in ("float32", "bfloat16"):
+        dcfg = dataclasses.replace(cfg, compute_dtype=dtype)
+        tag = "fp32" if dtype == "float32" else "bf16"
+        live = jax.jit(make_inference_fn(model, state.params, state.stats, dcfg))
+        timed(f"live_jit_{tag}", live)
+        path = f"{args.export}.{tag}"
+        export_inference(
+            model, state.params, state.stats, dcfg, path, platforms=platforms
+        )
+        print(f"artifact[{tag}]: {os.path.getsize(path)} bytes", flush=True)
+        timed(f"served_artifact_{tag}", load_inference(path))
 
 
 if __name__ == "__main__":
