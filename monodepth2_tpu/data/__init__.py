@@ -13,7 +13,7 @@ from .kitti import KittiDataset
 from .depth10k import Depth10k, find_static
 from .dchain import DChain
 from .augment import FlipX
-from .loader import DataLoader, device_prefetch
+from .loader import DataLoader, device_prefetch, placement_prefetch
 from .synthetic import SyntheticDriving, SyntheticTriplets
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "FlipX",
     "DataLoader",
     "device_prefetch",
+    "placement_prefetch",
     "SyntheticDriving",
     "SyntheticTriplets",
 ]

@@ -107,14 +107,21 @@ def export_inference(
 class ServedModel:
     """A loaded artifact: callable, no model code or checkpoint needed."""
 
-    def __init__(self, exported, meta: dict):
+    def __init__(self, exported, meta: dict, device=None):
         self._exported = exported
         self.meta = meta
         self._call = jax.jit(exported.call)
+        self._device = device if device is not None else jax.devices()[0]
 
     def __call__(self, x) -> dict:
         """x: (N, H, W, C) float32 in [0,1] -> dict of device arrays."""
-        x = jnp.asarray(x, jnp.float32)
+        # Pin the input to one device placement: exported modules embed
+        # their in_shardings, so jit(exported.call) specializes on the
+        # argument's committed-ness — a caller alternating host arrays /
+        # uncommitted outputs / committed eager results would trigger a
+        # full recompile (~15 s on the remote compiler) per placement
+        # flavor. device_put on an already-placed array is a no-op view.
+        x = jax.device_put(jnp.asarray(x, jnp.float32), self._device)
         want = self.meta["input_shape"]
         if list(x.shape[1:]) != want[1:]:
             raise ValueError(

@@ -337,3 +337,32 @@ def test_dataloader_abandoned_iterator_no_thread_leak():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_placement_prefetch_overlaps_ahead_of_use():
+    """placement_prefetch must dispatch `size` placements before the first
+    yield and exactly one more per batch consumed — the double-buffer window
+    that hides H2D under compute on the mesh path (training/loop.py)."""
+    from monodepth2_tpu.data import placement_prefetch
+
+    placed = []
+
+    def put(b):
+        placed.append(b)
+        return b * 10
+
+    it = placement_prefetch(iter([1, 2, 3, 4]), put, size=2)
+    got = []
+    assert placed == []  # lazy until first pull
+    got.append(next(it))
+    assert placed == [1, 2, 3]  # 2 ahead + the refill for the one consumed
+    got.extend(it)
+    assert got == [10, 20, 30, 40]
+    assert placed == [1, 2, 3, 4]
+
+
+def test_placement_prefetch_short_iterator():
+    from monodepth2_tpu.data import placement_prefetch
+
+    assert list(placement_prefetch(iter([7]), lambda b: b + 1, size=3)) == [8]
+    assert list(placement_prefetch(iter([]), lambda b: b, size=2)) == []
