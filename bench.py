@@ -30,7 +30,26 @@ _PROBE_SRC = (
 )
 
 
-def _fail_json(err: Exception | str, retryable: bool = True) -> dict:
+def _is_retryable(err: Exception | str) -> bool:
+    """Infra failures (grant outage, tunnel stall) are retryable;
+    deterministic bench-code failures are not — a retry loop keyed on the
+    flag must not spin forever on a bug that can never succeed."""
+    s = str(err)
+    return any(
+        m in s
+        for m in (
+            "Unavailable",
+            "UNAVAILABLE",
+            "DEADLINE_EXCEEDED",
+            "device unavailable",
+            "backend setup",
+            "Socket closed",
+            "Connection reset",
+        )
+    )
+
+
+def _fail_json(err: Exception | str, retryable: bool) -> dict:
     return {
         "metric": METRIC,
         "value": None,
@@ -55,19 +74,33 @@ def probe_device(budget_s: float = 900.0, attempt_s: float = 240.0) -> None:
 
     Raises RuntimeError when the budget is exhausted.
     """
+    import signal
+
     deadline = time.time() + budget_s
     delay, last = 20.0, "no attempt"
     while True:
+        # Popen + SIGINT-first: subprocess.run(timeout=) SIGKILLs, and a
+        # hard kill of a probe whose compile is QUEUED/IN FLIGHT on the
+        # remote service can wedge the grant ~30 min (CLAUDE.md). SIGINT
+        # raises KeyboardInterrupt in the probe, letting the JAX client
+        # disconnect cleanly; SIGKILL only if it ignores that for 20 s.
+        p = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC],
-                capture_output=True, text=True, timeout=attempt_s,
-            )
-            if "PROBE_OK" in r.stdout:
+            out, err = p.communicate(timeout=attempt_s)
+            if "PROBE_OK" in out:
                 return
-            last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["rc!=0"]
+            last = (err or out).strip().splitlines()[-1:] or ["rc!=0"]
             last = last[0]
         except subprocess.TimeoutExpired:
+            p.send_signal(signal.SIGINT)
+            try:
+                p.communicate(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.communicate()
             last = f"probe hung >{attempt_s:.0f}s (backend setup stall)"
         if time.time() + delay > deadline:
             raise RuntimeError(f"device unavailable after {budget_s:.0f}s: {last}")
@@ -171,7 +204,7 @@ if __name__ == "__main__":
         sys.exit(0)
     try:
         main()
-    except Exception as e:  # mid-bench failure (probe passed, so likely a
-        # grant drop during the run) — still parseable
-        print(json.dumps(_fail_json(e, retryable=True)))
+    except Exception as e:  # still parseable; retryable only for infra
+        # signatures (a grant drop mid-run), not deterministic bench bugs
+        print(json.dumps(_fail_json(e, retryable=_is_retryable(e))))
         sys.exit(0)

@@ -101,16 +101,42 @@ def _cli_overrides(args) -> dict:
     return overrides
 
 
+def _explicit_config(args) -> dict:
+    """Every field the user EXPLICITLY set: --config file entries first,
+    individual CLI flags on top."""
+    base = {}
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            base = json.loads(f.read())
+        for k in ("frame_ids", "source_ids", "target_size", "scale_levels"):
+            if k in base:
+                base[k] = tuple(base[k])
+    base.update(_cli_overrides(args))
+    return base
+
+
 def _build_config(args) -> "TrainConfig":
     from .training import TrainConfig
 
-    base = {}
-    if args.config:
-        with open(args.config) as f:
-            base = json.loads(f.read())
-    cfg = TrainConfig.from_json(json.dumps(base)) if base else TrainConfig()
-    overrides = _cli_overrides(args)
-    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+    explicit = _explicit_config(args)
+    return dataclasses.replace(TrainConfig(), **explicit) if explicit else TrainConfig()
+
+
+def _resolve_checkpoint_config(args) -> "TrainConfig":
+    """Config for commands that consume a checkpoint: the checkpoint
+    sidecar's recorded training config is the base truth (architecture,
+    resolution, compute_dtype), and ONLY user-explicit settings — --config
+    file entries and CLI flags — override it. Without this, CLI defaults
+    silently exported/evaluated the wrong architecture (ADVICE r3), and the
+    --config file was dropped entirely whenever a sidecar existed."""
+    from .eval import sidecar_config
+
+    cfg = _build_config(args)
+    side = sidecar_config(args.checkpoint)
+    if side is not None:
+        explicit = _explicit_config(args)
+        cfg = dataclasses.replace(side, **explicit) if explicit else side
+    return cfg
 
 
 def _build_dataset(args, cfg):
@@ -197,20 +223,10 @@ def cmd_train(args):
 
 
 def cmd_export(args):
-    from .eval import load_model, sidecar_config
+    from .eval import load_model
     from .serving import export_inference
 
-    # Derive the export spec + meta.json from the checkpoint's recorded
-    # training config, with CLI flags as explicit overrides (ADVICE r3:
-    # CLI-default height/width/in_channels/encoder_depth silently exported
-    # artifacts at the wrong resolution/architecture).
-    cfg = _build_config(args)
-    side = sidecar_config(args.checkpoint)
-    if side is not None:
-        overrides = _cli_overrides(args)
-        # serving-irrelevant training knobs (lr, dirs, ...) stay whatever
-        # the sidecar says; only explicit flags override
-        cfg = dataclasses.replace(side, **overrides) if overrides else side
+    cfg = _resolve_checkpoint_config(args)
     model, params, stats = load_model(cfg, args.checkpoint)
     platforms = tuple(args.platforms.split(","))
     export_inference(
@@ -226,7 +242,7 @@ def cmd_export(args):
 def cmd_eval_image(args):
     from .eval import eval_images
 
-    cfg = _build_config(args)
+    cfg = _resolve_checkpoint_config(args)
     n = eval_images(cfg, args.checkpoint, args.images, args.out, limit=args.limit)
     print(f"wrote {n} disparity maps to {args.out}")
 
@@ -234,7 +250,7 @@ def cmd_eval_image(args):
 def cmd_eval_video(args):
     from .eval import eval_video
 
-    cfg = _build_config(args)
+    cfg = _resolve_checkpoint_config(args)
     n = eval_video(cfg, args.checkpoint, args.video, args.out, limit=args.limit)
     print(f"wrote {n} disparity maps to {args.out}")
 
@@ -277,7 +293,7 @@ def cmd_eval_depth(args):
 
     from .eval import eval_depth_accuracy
 
-    cfg = _build_config(args)
+    cfg = _resolve_checkpoint_config(args)
     if args.synthetic:
         from .data.synthetic import SyntheticGroundPlane
 

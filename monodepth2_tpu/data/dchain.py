@@ -30,10 +30,30 @@ class DChain:
         return self.bins[-1]
 
     @property
+    def supports_item_K(self) -> bool:
+        """True when EVERY item in the chain can resolve an intrinsics
+        matrix — the fail-fast precondition for per_item_K (a chain that
+        passes a shallow hasattr check but contains one K-less child would
+        otherwise crash mid-epoch inside a loader worker thread)."""
+
+        def ok(d):
+            s = getattr(d, "supports_item_K", None)
+            if s is not None:
+                return bool(s)
+            return hasattr(d, "K")
+
+        return all(ok(d) for d in self.datasets)
+
+    @property
     def heterogeneous_K(self) -> bool:
         """True when children carry genuinely different intrinsics — the case
         the reference's first-child-K approximation (src/Monodepth.jl:99)
-        silently miscalibrates. Feed fit(per_item_K=True) then."""
+        silently miscalibrates. Feed fit(per_item_K=True) then.
+
+        Recurses into nested chains: a child chain's own heterogeneity counts
+        (its copied first-grandchild K would otherwise mask it)."""
+        if any(getattr(d, "heterogeneous_K", False) for d in self.datasets):
+            return True
         Ks = [np.asarray(d.K) for d in self.datasets if hasattr(d, "K")]
         return len(Ks) == len(self.datasets) and any(
             not np.array_equal(Ks[0], k) for k in Ks[1:]
@@ -51,6 +71,12 @@ class DChain:
         ds = self.datasets[bid]
         if hasattr(ds, "K_of"):
             return np.asarray(ds.K_of(local), np.float32)
+        if not hasattr(ds, "K"):
+            raise ValueError(
+                f"DChain child #{bid} ({type(ds).__name__}) exposes neither "
+                "K_of nor K — per-item intrinsics cannot be resolved for "
+                f"global index {i}"
+            )
         return np.asarray(ds.K, np.float32)
 
     def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None):

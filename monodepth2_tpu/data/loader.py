@@ -38,10 +38,23 @@ class DataLoader:
         drop_last: bool = True,
         with_K: bool = False,
     ):
-        if with_K and not (hasattr(dataset, "K_of") or hasattr(dataset, "K")):
-            raise ValueError(
-                "with_K=True needs the dataset to expose K_of(i) or K"
+        if with_K:
+            # fail fast at construction, not mid-epoch in a worker thread:
+            # wrappers (PerHostSampler) and chains always expose K_of, so a
+            # hasattr check alone would pass even when an underlying child
+            # has no calibration — ask supports_item_K when available
+            s = getattr(dataset, "supports_item_K", None)
+            ok = (
+                bool(s)
+                if s is not None
+                else hasattr(dataset, "K_of") or hasattr(dataset, "K")
             )
+            if not ok:
+                raise ValueError(
+                    "with_K=True needs every item to resolve intrinsics: "
+                    "the dataset (or some chained child) exposes neither "
+                    "K_of(i) nor K"
+                )
         self.with_K = with_K
         self.dataset = dataset
         self.batch_size = batch_size

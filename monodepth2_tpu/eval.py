@@ -74,9 +74,10 @@ def make_infer_fn(model, params, stats, compute_dtype: str = "float32"):
     fp32 disparity — ~2x serving throughput at a ~1e-2 max-disparity delta
     (sigmoid output, so bounded; parity pinned in tests/test_eval.py)."""
     if compute_dtype == "bfloat16":
-        bf16 = jnp.bfloat16
-        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
-        params, stats = cast(params), cast(stats)
+        from .nn.core import cast_tree
+
+        params = cast_tree(params, jnp.bfloat16)
+        stats = cast_tree(stats, jnp.bfloat16)
 
     @jax.jit
     def infer(x):

@@ -17,6 +17,7 @@ from .core import (
     max_pool,
     mean_pool,
     upsample_bilinear,
+    cast_tree,
     reflect_pad,
 )
 
@@ -28,5 +29,6 @@ __all__ = [
     "max_pool",
     "mean_pool",
     "upsample_bilinear",
+    "cast_tree",
     "reflect_pad",
 ]

@@ -245,3 +245,16 @@ def upsample_bilinear(
     top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
     bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
     return top * (1 - wy) + bot * wy
+
+
+def cast_tree(tree, dtype):
+    """Cast every leaf of a pytree (params/stats/inputs) to `dtype`.
+
+    The single definition of the mixed-precision cast used by training
+    (training/loss.py), live inference (eval.make_infer_fn), and serving
+    export (serving.make_inference_fn) — one recipe, three consumers, so a
+    precision-policy change cannot silently diverge them.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)

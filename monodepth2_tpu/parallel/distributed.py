@@ -194,6 +194,15 @@ class PerHostSampler:
             gb * self.global_batch_size + self.process_id * self.per_host + r
         ])
 
+    @property
+    def supports_item_K(self) -> bool:
+        """Forwarded fail-fast precondition for per_item_K (see
+        DChain.supports_item_K / DataLoader(with_K=...))."""
+        s = getattr(self.dataset, "supports_item_K", None)
+        if s is not None:
+            return bool(s)
+        return hasattr(self.dataset, "K_of") or hasattr(self.dataset, "K")
+
     def K_of(self, i: int) -> np.ndarray:
         """Per-item intrinsics for LOCAL loader index i — same global-order
         mapping as __getitem__, so {"frames", "K"} batches stay row-aligned

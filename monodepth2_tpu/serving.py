@@ -46,9 +46,10 @@ def make_inference_fn(model: Model, params, stats, cfg: TrainConfig):
     (training/loss.py:55-70), geometry (disparity→depth) kept fp32.
     """
     if cfg.compute_dtype == "bfloat16":
-        bf16 = jnp.bfloat16
-        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
-        params, stats = cast(params), cast(stats)
+        from .nn.core import cast_tree
+
+        params = cast_tree(params, jnp.bfloat16)
+        stats = cast_tree(stats, jnp.bfloat16)
 
     def infer(x):
         if cfg.compute_dtype == "bfloat16":

@@ -70,10 +70,11 @@ def train_loss(
         # mixed precision: network in bf16 on the MXU, geometry/loss in fp32.
         # Master params stay fp32 (the cast is linear, so gradients flow to
         # the fp32 leaves automatically).
+        from ..nn.core import cast_tree
+
         bf16 = jnp.bfloat16
-        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(bf16), t)
         disparities, poses, new_stats = model_fn(
-            cast(params), cast(stats), frames.astype(bf16)
+            cast_tree(params, bf16), cast_tree(stats, bf16), frames.astype(bf16)
         )
         disparities = [d.astype(frames.dtype) for d in disparities]
         poses = [

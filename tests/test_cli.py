@@ -108,3 +108,32 @@ def test_cli_export_derives_spec_from_checkpoint_sidecar(tmp_path, capsys):
         meta = _json.loads(z.read("meta.json"))
     assert meta["input_shape"] == [None, 32, 64, 1]  # sidecar's H/W/C
     assert meta["encoder_depth"] == 18
+
+
+@pytest.mark.slow
+def test_cli_export_respects_config_file_over_sidecar(tmp_path, capsys):
+    """--config file entries must override the checkpoint sidecar at export
+    (round-4 review: the file was silently dropped whenever a sidecar
+    existed, so config-file-driven export regressed to sidecar values)."""
+    import json as _json
+    import zipfile
+
+    from monodepth2_tpu.models import Model
+    from monodepth2_tpu.training import TrainConfig, create_train_state
+    from monodepth2_tpu.training.checkpoint import save_checkpoint
+
+    cfg = TrainConfig(target_size=(64, 32), in_channels=1, max_depth=100.0)
+    model = Model.create(in_channels=1)
+    state, _ = create_train_state(model, cfg)
+    ckpt = str(tmp_path / "ckpt-1")
+    save_checkpoint(ckpt, state, metadata={"config": cfg.to_json()})
+
+    cfg_file = tmp_path / "serve.json"
+    cfg_file.write_text(_json.dumps({"max_depth": 80.0}))
+    out = str(tmp_path / "depth.mdtpu")
+    main(["export", "--checkpoint", ckpt, "--out", out,
+          "--platforms", "cpu", "--config", str(cfg_file)])
+    with zipfile.ZipFile(out) as z:
+        meta = _json.loads(z.read("meta.json"))
+    assert meta["max_depth"] == 80.0  # config file won
+    assert meta["input_shape"] == [None, 32, 64, 1]  # sidecar kept the rest

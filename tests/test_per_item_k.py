@@ -177,3 +177,38 @@ def test_fit_per_item_K_end_to_end(tmp_path):
 def test_per_item_k_config_roundtrip():
     cfg = TrainConfig(per_item_K=True)
     assert TrainConfig.from_json(cfg.to_json()).per_item_K is True
+
+
+def test_nested_chain_heterogeneity_and_fail_fast():
+    """Nested-chain heterogeneity must not be masked by the copied
+    first-grandchild K, and a K-less child must fail at loader construction
+    (not mid-epoch in a worker thread)."""
+    a = _TaggedDS(1.0, _K(100.0, 64, 32))
+    b = _TaggedDS(2.0, _K(200.0, 64, 32))
+    c = _TaggedDS(3.0, _K(100.0, 64, 32))
+    nested = DChain([DChain([a, b]), c])
+    assert nested.heterogeneous_K  # inner a!=b counts even though outer Ks match
+    assert nested.supports_item_K
+    # inner chain owns global 0..5 (a: 0-2, b: 3-5); c owns 6-8
+    np.testing.assert_array_equal(nested.K_of(4), np.asarray(b.K, np.float32))
+    np.testing.assert_array_equal(nested.K_of(7), np.asarray(c.K, np.float32))
+
+    class _NoK:
+        target_id, source_ids = 1, (0, 2)
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i, rng=None):
+            return np.zeros((3, 32, 64, 1), np.float32)
+
+    broken = DChain([a, _NoK()])
+    assert not broken.supports_item_K
+    with pytest.raises(ValueError, match="neither"):
+        DataLoader(broken, batch_size=2, with_K=True)
+    from monodepth2_tpu.parallel import PerHostSampler
+
+    sampler = PerHostSampler(broken, 2, process_id=0, num_processes=1)
+    assert not sampler.supports_item_K
+    with pytest.raises(ValueError, match="neither"):
+        DataLoader(sampler, 2, shuffle=False, with_K=True)

@@ -8,6 +8,8 @@ result (block_until_ready lies through the remote tunnel).
 Usage:
     python tools/serving_bench.py [--batch 64] [--iters 20] [--width 416]
         [--height 128] [--export /tmp/serve.mdtpu]
+Benches fp32 AND bf16, live jit and the exported artifact; artifacts are
+written to {--export}.fp32 and {--export}.bf16 (not the bare path).
 Prints one JSON line per variant.
 """
 
