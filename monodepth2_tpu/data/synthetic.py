@@ -191,6 +191,7 @@ class SyntheticDriving:
         wall_depth: float = 60.0,
         seed: int = 0,
         cache: bool = True,
+        focal_scale: float = 1.0,
     ):
         self.n = n
         self.width, self.height = target_size
@@ -205,7 +206,11 @@ class SyntheticDriving:
         # ray casting costs ~0.2 s/triplet; memoize so multi-epoch training
         # is TPU-bound, not renderer-bound (~0.6 MB per cached triplet)
         self._cache: Optional[dict] = {} if cache else None
-        f = 0.58 * self.width * 2
+        # focal_scale renders a camera with a different calibration — the
+        # ray caster derives rays from self.invK, so frames/GT stay
+        # pixel-consistent. Lets tests/experiments build heterogeneous-K
+        # chains with honest geometry (per_item_K evidence).
+        f = 0.58 * self.width * 2 * focal_scale
         self.K = np.asarray(
             [[f, 0, self.width / 2], [0, f, self.height / 2], [0, 0, 1.0]],
             np.float64,
