@@ -239,6 +239,19 @@ def cmd_export(args):
           f"batch={'symbolic' if not args.batch else args.batch})")
 
 
+def cmd_serve(args):
+    from .server import serve
+
+    serve(
+        args.artifact,
+        host=args.host,
+        port=args.port,
+        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        linger_s=args.linger_ms / 1e3,
+        warmup=not args.no_warmup,
+    )
+
+
 def cmd_eval_image(args):
     from .eval import eval_images
 
@@ -405,6 +418,25 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=0,
                    help="fixed batch size (0 = symbolic, any N at serve time)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP inference server over an exported artifact "
+             "(micro-batching + bucket padding; see server.py)")
+    p.add_argument("--artifact", required=True,
+                   help="path from `cli export`")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--buckets", default="1,4,16,64",
+                   help="comma-separated batch buckets; requests are padded "
+                        "to the smallest bucket that fits (each bucket is "
+                        "one XLA compile, warmed at startup)")
+    p.add_argument("--linger-ms", type=float, default=2.0,
+                   help="micro-batching window: how long a request waits "
+                        "for others to share its device call")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the per-bucket warmup compiles at startup")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-image", help="directory inference")
     _add_config_args(p)

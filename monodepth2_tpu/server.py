@@ -1,0 +1,379 @@
+"""HTTP inference server over an AOT serving artifact.
+
+The reference's only deployment story is BSON.load of the whole Flux model
+into a fresh Julia session (src/Monodepth.jl:207-208) — one process, one
+caller, frame-at-a-time. A TPU chip is a shared, high-throughput resource;
+serving it properly needs three things the reference never had:
+
+- **one process owns the chip, many clients speak HTTP** — stdlib
+  `ThreadingHTTPServer`, no framework dependency;
+- **micro-batching** — concurrent requests are coalesced into a single
+  device call (`BucketBatcher`): the chip's throughput comes from batch
+  size (BASELINE.md: 36 ms/batch-64 ≈ 0.6 ms/img vs ~23 ms for batch 1),
+  so per-request dispatch would waste ~40× of it;
+- **batch bucketing** — a symbolic-batch StableHLO artifact (serving.py)
+  compiles once per *concrete* N at call time (~15 s each on the remote
+  TPU compiler). Free-form batch sizes would recompile constantly, so
+  requests are padded to a small fixed set of bucket sizes and sliced
+  back; steady state then runs entirely from the compile cache. Padding
+  is exact for this model: every output row depends only on its input row
+  (pure CNN, eval-mode BN), verified by tests/test_server.py.
+
+Endpoints:
+  GET  /healthz       -> {"ok": true, ...batcher stats}
+  GET  /meta          -> the artifact's meta.json
+  POST /v1/depth      -> disparity + depth for a batch of images
+      Content-Type: application/octet-stream — raw little-endian float32
+          rows in [0,1], header `X-Shape: N,H,W,C` (H,W,C must match the
+          artifact; values outside [0,1] are rejected, not clamped)
+      Content-Type: image/png | image/jpeg — one encoded image; decoded,
+          resized to the artifact's (W,H) and grayscaled exactly like the
+          training pipeline (eval.py _load_image)
+      Accept: application/json — base64-encoded float32 arrays + shapes
+      otherwise -> application/octet-stream .npz (disparity, depth)
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+class BucketBatcher:
+    """Coalesce concurrent requests into bucket-padded device calls.
+
+    `infer` maps a float32 (N, H, W, C) array to a dict of (N, ...) arrays.
+    Requests (`submit`) enqueue their rows with a Future; one worker thread
+    drains the queue, packs rows in arrival order up to the largest bucket,
+    waits up to `linger_s` for stragglers to fill the batch, pads to the
+    smallest bucket that fits, runs ONE `infer` call, and splits the result
+    rows back onto the futures.
+
+    A request larger than the biggest bucket is rejected at submit (the
+    client should chunk); this keeps worst-case latency and device memory
+    bounded by max(buckets).
+    """
+
+    def __init__(
+        self,
+        infer: Callable[[np.ndarray], Dict[str, np.ndarray]],
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        linger_s: float = 0.002,
+    ):
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(f"buckets must be positive ints, got {buckets}")
+        self._infer = infer
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.linger_s = float(linger_s)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.stats = {
+            "requests": 0,
+            "rows": 0,
+            "batches": 0,
+            "padded_rows": 0,
+            "errors": 0,
+        }
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(
+            target=self._run, name="bucket-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, rows: np.ndarray) -> "Future":
+        """rows: float32 (n, H, W, C). Resolves to a dict of (n, ...) arrays."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        n = int(rows.shape[0])
+        if n == 0:
+            raise ValueError("empty request")
+        if n > self.buckets[-1]:
+            raise ValueError(
+                f"request of {n} rows exceeds the largest bucket "
+                f"{self.buckets[-1]}; split it client-side"
+            )
+        fut: Future = Future()
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["rows"] += n
+        self._queue.put((np.asarray(rows, np.float32), fut))
+        return fut
+
+    def infer_now(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
+        """Synchronous convenience: submit and wait."""
+        return self.submit(rows).result()
+
+    def close(self, timeout: float = 5.0) -> None:
+        self._closed = True
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout)
+
+    def warmup_with_shape(self, h: int, w: int, c: int) -> None:
+        """Run one dummy batch per bucket so every serve-time shape is
+        compiled before the first client arrives (each concrete N of a
+        symbolic-batch artifact is its own XLA compile)."""
+        for b in self.buckets:
+            self._infer(np.zeros((b, h, w, c), np.float32))
+
+    # -- worker side -----------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                if self._closed:
+                    return
+                continue
+            group = [item]
+            total = item[0].shape[0]
+            deadline = time.monotonic() + self.linger_s
+            # drain whatever fits in the largest bucket, lingering briefly
+            # so a burst of concurrent requests shares one device call
+            while total < self.buckets[-1]:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = self._queue.get(
+                        timeout=max(remaining, 0) if remaining > 0 else None,
+                        block=remaining > 0,
+                    )
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    if self._closed:
+                        self._flush(group, total)
+                        return
+                    continue
+                if total + nxt[0].shape[0] > self.buckets[-1]:
+                    # doesn't fit: run the current group, start a new one
+                    self._flush(group, total)
+                    group, total = [nxt], nxt[0].shape[0]
+                    deadline = time.monotonic() + self.linger_s
+                else:
+                    group.append(nxt)
+                    total += nxt[0].shape[0]
+            self._flush(group, total)
+
+    def _flush(self, group, total: int) -> None:
+        if not group:
+            return
+        bucket = next(b for b in self.buckets if b >= total)
+        rows = np.concatenate([g[0] for g in group], axis=0)
+        if bucket > total:
+            pad = np.zeros((bucket - total,) + rows.shape[1:], rows.dtype)
+            rows = np.concatenate([rows, pad], axis=0)
+        try:
+            out = self._infer(rows)
+            out = {k: np.asarray(v) for k, v in out.items()}
+        except Exception as e:  # propagate to every waiting request
+            with self._lock:
+                self.stats["errors"] += 1
+            for _, fut in group:
+                if not fut.cancelled():
+                    fut.set_exception(e)
+            return
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["padded_rows"] += bucket - total
+        off = 0
+        for g_rows, fut in group:
+            n = g_rows.shape[0]
+            if not fut.cancelled():
+                fut.set_result({k: v[off : off + n] for k, v in out.items()})
+            off += n
+
+
+def _decode_image(body: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Decode one PNG/JPEG request body exactly like the training pipeline
+    (eval.py _load_image): convert, BILINEAR resize to (W, H), [0,1]."""
+    from PIL import Image
+
+    with Image.open(io.BytesIO(body)) as im:
+        im = im.convert("L" if channels == 1 else "RGB")
+        im = im.resize((width, height), Image.BILINEAR)
+        arr = np.asarray(im, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr[None]  # (1, H, W, C)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by build_server:
+    batcher: BucketBatcher = None  # type: ignore[assignment]
+    meta: dict = {}
+    quiet: bool = True
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # stdlib default spams stderr
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    # -- helpers ---------------------------------------------------------
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _error(self, code: int, msg: str) -> None:
+        self._send_json(code, {"error": msg})
+
+    # -- routes ----------------------------------------------------------
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        if self.path == "/healthz":
+            with self.batcher._lock:
+                stats = dict(self.batcher.stats)
+            self._send_json(200, {"ok": True, **stats})
+        elif self.path == "/meta":
+            self._send_json(200, self.meta)
+        else:
+            self._error(404, f"no route {self.path}")
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/v1/depth":
+            return self._error(404, f"no route {self.path}")
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length <= 0:
+                return self._error(400, "empty body")
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            shape = self.meta["input_shape"]  # [None|N, H, W, C]
+            h, w, c = int(shape[1]), int(shape[2]), int(shape[3])
+            if ctype in ("image/png", "image/jpeg"):
+                rows = _decode_image(body, w, h, c)
+            elif ctype == "application/octet-stream":
+                hdr = self.headers.get("X-Shape")
+                if not hdr:
+                    return self._error(400, "X-Shape header required (N,H,W,C)")
+                try:
+                    dims = tuple(int(d) for d in hdr.split(","))
+                except ValueError:
+                    return self._error(400, f"bad X-Shape {hdr!r}")
+                if len(dims) != 4 or dims[1:] != (h, w, c):
+                    return self._error(
+                        400, f"X-Shape {dims} incompatible with (N, {h}, {w}, {c})"
+                    )
+                expect = dims[0] * h * w * c * 4
+                if len(body) != expect:
+                    return self._error(
+                        400, f"body is {len(body)} bytes, shape needs {expect}"
+                    )
+                rows = np.frombuffer(body, "<f4").reshape(dims)
+                if not np.isfinite(rows).all():
+                    return self._error(400, "non-finite values in input")
+                lo, hi = float(rows.min()), float(rows.max())
+                if lo < 0.0 or hi > 1.0:
+                    return self._error(
+                        400, f"inputs must be in [0,1], got [{lo:.3g},{hi:.3g}]"
+                    )
+            else:
+                return self._error(415, f"unsupported Content-Type {ctype!r}")
+            try:
+                out = self.batcher.submit(rows).result(timeout=120)
+            except ValueError as e:
+                return self._error(400, str(e))
+            accept = self.headers.get("Accept", "")
+            if "application/json" in accept:
+                payload = {
+                    k: {
+                        "shape": list(v.shape),
+                        "dtype": "float32",
+                        "b64": base64.b64encode(
+                            np.ascontiguousarray(v, np.float32).tobytes()
+                        ).decode(),
+                    }
+                    for k, v in out.items()
+                }
+                return self._send_json(200, payload)
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v, np.float32) for k, v in out.items()})
+            return self._send(200, buf.getvalue(), "application/octet-stream")
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # noqa: BLE001 — serving must not die per-request
+            try:
+                self._error(500, f"{type(e).__name__}: {e}")
+            except Exception:
+                pass
+
+
+def build_server(
+    artifact_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    linger_s: float = 0.002,
+    warmup: bool = True,
+    _infer: Optional[Callable] = None,
+    _meta: Optional[dict] = None,
+) -> Tuple[ThreadingHTTPServer, BucketBatcher]:
+    """Load the artifact, stand up batcher + HTTP server (not yet serving).
+
+    Returns (server, batcher); call server.serve_forever() (or use `serve`).
+    `_infer`/`_meta` inject a fake model for tests.
+    """
+    if _infer is None:
+        from .serving import load_inference
+
+        served = load_inference(artifact_path)
+        meta = served.meta
+
+        def _infer(rows: np.ndarray) -> Dict[str, np.ndarray]:
+            out = served(rows)
+            return {k: np.asarray(v) for k, v in out.items()}
+
+    else:
+        meta = _meta or {"input_shape": [None, 1, 1, 1]}
+    batcher = BucketBatcher(_infer, buckets=buckets, linger_s=linger_s)
+    if warmup:
+        shape = meta["input_shape"]
+        batcher.warmup_with_shape(int(shape[1]), int(shape[2]), int(shape[3]))
+
+    handler = type(
+        "BoundHandler", (_Handler,), {"batcher": batcher, "meta": meta}
+    )
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server, batcher
+
+
+def serve(
+    artifact_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    linger_s: float = 0.002,
+    warmup: bool = True,
+) -> None:
+    """Blocking entry point (cli.py serve)."""
+    server, batcher = build_server(
+        artifact_path, host, port, buckets, linger_s, warmup
+    )
+    print(
+        f"serving {artifact_path} on http://{host}:{port} "
+        f"(buckets {list(buckets)}, linger {linger_s * 1e3:.1f} ms)",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -1,0 +1,212 @@
+"""HTTP serving layer tests (server.py): micro-batching, bucket padding,
+and the wire protocol — all against an injected row-pure fake model, so no
+compile cost; artifact↔live parity is test_serving.py's job, and the glue
+(real artifact behind HTTP) is covered there too.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from monodepth2_tpu.server import BucketBatcher, build_server
+
+H, W, C = 8, 12, 1
+
+
+def fake_infer(rows: np.ndarray):
+    """Row-pure fake model with real output shapes: each output row is a
+    function of its input row only — exactly the property that makes
+    bucket padding lossless for the real CNN."""
+    assert rows.dtype == np.float32
+    disp = rows.mean(axis=-1, keepdims=True) * 0.5 + 0.1  # (N, H, W, 1)
+    return {"disparity": disp, "depth": 1.0 / (disp + 0.01)}
+
+
+def rand_rows(n, seed=0):
+    return np.random.RandomState(seed).rand(n, H, W, C).astype(np.float32)
+
+
+# ---------------------------------------------------------------- batcher
+
+
+def test_batcher_pads_to_bucket_and_slices_back():
+    b = BucketBatcher(fake_infer, buckets=(1, 4, 16), linger_s=0.0)
+    try:
+        x = rand_rows(3)
+        out = b.infer_now(x)
+        np.testing.assert_allclose(out["disparity"], fake_infer(x)["disparity"])
+        assert out["disparity"].shape == (3, H, W, 1)
+        assert b.stats["batches"] == 1
+        assert b.stats["padded_rows"] == 1  # 3 -> bucket 4
+    finally:
+        b.close()
+
+
+def test_batcher_coalesces_concurrent_requests():
+    b = BucketBatcher(fake_infer, buckets=(1, 4, 16), linger_s=0.25)
+    try:
+        xs = [rand_rows(1, seed=i) for i in range(3)]
+        futs = [b.submit(x) for x in xs]  # all enqueued inside one linger
+        outs = [f.result(timeout=10) for f in futs]
+        for x, o in zip(xs, outs):
+            np.testing.assert_allclose(o["disparity"], fake_infer(x)["disparity"])
+        assert b.stats["batches"] == 1  # ONE device call for 3 requests
+        assert b.stats["requests"] == 3
+        assert b.stats["padded_rows"] == 1  # 3 rows -> bucket 4
+    finally:
+        b.close()
+
+
+def test_batcher_splits_oversized_group():
+    # group that would exceed the largest bucket is flushed and restarted
+    b = BucketBatcher(fake_infer, buckets=(4,), linger_s=0.25)
+    try:
+        futs = [b.submit(rand_rows(3, seed=i)) for i in range(2)]  # 3+3 > 4
+        for f in futs:
+            assert f.result(timeout=10)["disparity"].shape == (3, H, W, 1)
+        assert b.stats["batches"] == 2
+    finally:
+        b.close()
+
+
+def test_batcher_rejects_oversized_request():
+    b = BucketBatcher(fake_infer, buckets=(1, 2), linger_s=0.0)
+    try:
+        with pytest.raises(ValueError, match="largest bucket"):
+            b.submit(rand_rows(3))
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_infer_errors():
+    def broken(rows):
+        raise RuntimeError("device on fire")
+
+    b = BucketBatcher(broken, buckets=(4,), linger_s=0.0)
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            b.infer_now(rand_rows(2))
+        assert b.stats["errors"] == 1
+    finally:
+        b.close()
+
+
+# ------------------------------------------------------------------ HTTP
+
+
+@pytest.fixture()
+def http_server():
+    meta = {
+        "input_shape": [None, H, W, C],
+        "outputs": ["disparity", "depth"],
+        "min_depth": 0.1,
+        "max_depth": 100.0,
+    }
+    server, batcher = build_server(
+        "unused", port=0, buckets=(1, 4), linger_s=0.0,
+        warmup=False, _infer=fake_infer, _meta=meta,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        yield base, batcher
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def _post(base, path, body, ctype, headers=None):
+    req = urllib.request.Request(base + path, data=body, method="POST")
+    req.add_header("Content-Type", ctype)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def test_http_healthz_and_meta(http_server):
+    base, _ = http_server
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+        assert json.loads(r.read())["ok"] is True
+    with urllib.request.urlopen(base + "/meta", timeout=10) as r:
+        assert json.loads(r.read())["input_shape"] == [None, H, W, C]
+
+
+def test_http_octet_stream_roundtrip(http_server):
+    base, _ = http_server
+    x = rand_rows(2)
+    with _post(
+        base, "/v1/depth", x.tobytes(), "application/octet-stream",
+        {"X-Shape": f"2,{H},{W},{C}"},
+    ) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        out = np.load(io.BytesIO(r.read()))
+        np.testing.assert_allclose(
+            out["disparity"], fake_infer(x)["disparity"], rtol=1e-6
+        )
+        assert out["depth"].shape == (2, H, W, 1)
+
+
+def test_http_json_response(http_server):
+    base, _ = http_server
+    x = rand_rows(1)
+    with _post(
+        base, "/v1/depth", x.tobytes(), "application/octet-stream",
+        {"X-Shape": f"1,{H},{W},{C}", "Accept": "application/json"},
+    ) as r:
+        payload = json.loads(r.read())
+        disp = np.frombuffer(
+            base64.b64decode(payload["disparity"]["b64"]), "<f4"
+        ).reshape(payload["disparity"]["shape"])
+        np.testing.assert_allclose(disp, fake_infer(x)["disparity"], rtol=1e-6)
+
+
+def test_http_png_request(http_server):
+    from PIL import Image
+
+    base, _ = http_server
+    img = (np.random.RandomState(3).rand(H * 2, W * 2) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, format="PNG")
+    with _post(base, "/v1/depth", buf.getvalue(), "image/png") as r:
+        out = np.load(io.BytesIO(r.read()))
+        # decoded + resized to the artifact's (H, W) like eval.py
+        assert out["disparity"].shape == (1, H, W, 1)
+
+
+@pytest.mark.parametrize(
+    "body,ctype,headers,code,msg",
+    [
+        (b"", "application/octet-stream", {"X-Shape": "1,8,12,1"}, 400, "empty"),
+        (b"\0" * 16, "application/octet-stream", {}, 400, "X-Shape"),
+        (b"\0" * 16, "application/octet-stream",
+         {"X-Shape": "1,9,9,9"}, 400, "incompatible"),
+        (b"\0" * 16, "application/octet-stream",
+         {"X-Shape": f"1,{H},{W},{C}"}, 400, "bytes"),
+        (b"\0" * 16, "text/plain", {}, 415, "Content-Type"),
+    ],
+)
+def test_http_rejects_bad_requests(http_server, body, ctype, headers, code, msg):
+    base, _ = http_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/depth", body, ctype, headers)
+    assert e.value.code == code
+    assert msg in json.loads(e.value.read())["error"]
+
+
+def test_http_rejects_out_of_range_values(http_server):
+    base, _ = http_server
+    x = rand_rows(1) + 5.0  # outside [0,1]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            base, "/v1/depth", x.tobytes(), "application/octet-stream",
+            {"X-Shape": f"1,{H},{W},{C}"},
+        )
+    assert e.value.code == 400
+    assert "[0,1]" in json.loads(e.value.read())["error"]

@@ -90,3 +90,46 @@ def test_export_bf16_artifact_parity(artifact, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["depth"]), np.asarray(ref["depth"]), rtol=0.1, atol=0
     )
+
+
+def test_http_server_over_real_artifact(artifact):
+    """Glue: `cli serve`'s stack (server.py build_server) in front of the
+    REAL exported artifact — one request through HTTP must match the live
+    model, including the batcher's bucket padding (rows are padded to
+    bucket 4 and sliced back)."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from monodepth2_tpu.server import build_server
+
+    cfg, model, state, p = artifact
+    server, batcher = build_server(
+        p, port=0, buckets=(4,), linger_s=0.0, warmup=False
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/meta", timeout=30) as r:
+            assert _json.loads(r.read())["outputs"] == ["disparity", "depth"]
+        x = np.random.default_rng(2).uniform(
+            size=(2, cfg.height, cfg.width, 1)
+        ).astype(np.float32)
+        req = urllib.request.Request(
+            base + "/v1/depth", data=x.tobytes(), method="POST"
+        )
+        req.add_header("Content-Type", "application/octet-stream")
+        req.add_header("X-Shape", f"2,{cfg.height},{cfg.width},1")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.load(io.BytesIO(r.read()))
+        live = make_inference_fn(model, state.params, state.stats, cfg)
+        ref = live(jnp.asarray(x))
+        np.testing.assert_allclose(
+            out["disparity"], np.asarray(ref["disparity"]), rtol=0, atol=1e-5
+        )
+        assert batcher.stats["padded_rows"] == 2  # 2 rows -> bucket 4
+    finally:
+        server.shutdown()
+        batcher.close()
