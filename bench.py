@@ -102,6 +102,12 @@ def probe_device(budget_s: float = 900.0, attempt_s: float = 240.0) -> None:
                 p.kill()
                 p.communicate()
             last = f"probe hung >{attempt_s:.0f}s (backend setup stall)"
+        if not _is_retryable(last):
+            # deterministic probe failure (broken install, import error):
+            # retrying the same probe can never succeed — fail fast with a
+            # message that _is_retryable classifies as non-retryable, so
+            # the emitted JSON doesn't send the harness into a spin loop
+            raise RuntimeError(f"probe failed (non-retryable): {last}")
         if time.time() + delay > deadline:
             raise RuntimeError(f"device unavailable after {budget_s:.0f}s: {last}")
         time.sleep(delay)
@@ -199,8 +205,9 @@ if __name__ == "__main__":
     # (VERDICT r3 #1: BENCH_r03 was rc=1/unparseable after a grant outage).
     try:
         probe_device(budget_s=float(os.environ.get("BENCH_PROBE_BUDGET_S", 900)))
-    except Exception as e:  # grant outage — structured, retryable
-        print(json.dumps(_fail_json(e, retryable=True)))
+    except Exception as e:  # structured either way; retryable only for a
+        # genuine grant outage, not a deterministic probe failure
+        print(json.dumps(_fail_json(e, retryable=_is_retryable(e))))
         sys.exit(0)
     try:
         main()

@@ -10,6 +10,21 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def resolves_item_K(dataset) -> bool:
+    """Shared fail-fast capability probe for per_item_K training: True when
+    every item of `dataset` can resolve an intrinsics matrix.
+
+    Wrappers and chains (DChain, PerHostSampler) answer authoritatively via
+    their own `supports_item_K`; plain datasets qualify by exposing either
+    `K_of(i)` or a single constant `K`. DataLoader(with_K=True),
+    PerHostSampler and DChain all route through this one function so the
+    probe and the actual K resolution (`K_of`) cannot silently diverge."""
+    s = getattr(dataset, "supports_item_K", None)
+    if s is not None:
+        return bool(s)
+    return hasattr(dataset, "K_of") or hasattr(dataset, "K")
+
+
 class DChain:
     """Concat dataset. Carries the FIRST child's intrinsics/frame layout so a
     chain can feed fit() directly — the reference likewise trains the whole
@@ -35,14 +50,7 @@ class DChain:
         matrix — the fail-fast precondition for per_item_K (a chain that
         passes a shallow hasattr check but contains one K-less child would
         otherwise crash mid-epoch inside a loader worker thread)."""
-
-        def ok(d):
-            s = getattr(d, "supports_item_K", None)
-            if s is not None:
-                return bool(s)
-            return hasattr(d, "K")
-
-        return all(ok(d) for d in self.datasets)
+        return all(resolves_item_K(d) for d in self.datasets)
 
     @property
     def heterogeneous_K(self) -> bool:

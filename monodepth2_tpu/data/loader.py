@@ -19,6 +19,8 @@ import numpy as np
 
 import jax
 
+from .dchain import resolves_item_K
+
 
 class DataLoader:
     """Iterates (N, L, H, W, C) float32 numpy batches.
@@ -42,14 +44,8 @@ class DataLoader:
             # fail fast at construction, not mid-epoch in a worker thread:
             # wrappers (PerHostSampler) and chains always expose K_of, so a
             # hasattr check alone would pass even when an underlying child
-            # has no calibration — ask supports_item_K when available
-            s = getattr(dataset, "supports_item_K", None)
-            ok = (
-                bool(s)
-                if s is not None
-                else hasattr(dataset, "K_of") or hasattr(dataset, "K")
-            )
-            if not ok:
+            # has no calibration — resolves_item_K asks supports_item_K first
+            if not resolves_item_K(dataset):
                 raise ValueError(
                     "with_K=True needs every item to resolve intrinsics: "
                     "the dataset (or some chained child) exposes neither "

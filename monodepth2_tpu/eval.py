@@ -89,7 +89,12 @@ def make_infer_fn(model, params, stats, compute_dtype: str = "float32"):
     return infer
 
 
-def _load_image(path: str, width: int, height: int, grayscale: bool) -> np.ndarray:
+def _load_image(path, width: int, height: int, grayscale: bool) -> np.ndarray:
+    """Decode + preprocess one image exactly as the training pipeline does
+    (data/kitti.py): convert, BILINEAR resize to (W, H), [0,1] float32.
+    `path` is a filesystem path or a file-like object (server.py feeds
+    request bodies through here so the served path can never silently
+    diverge from this preprocessing)."""
     with Image.open(path) as im:
         im = im.convert("L" if grayscale else "RGB")
         im = im.resize((width, height), Image.BILINEAR)

@@ -70,12 +70,17 @@ class BucketBatcher:
         infer: Callable[[np.ndarray], Dict[str, np.ndarray]],
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         linger_s: float = 0.002,
+        row_shape: Optional[Tuple[int, int, int]] = None,
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets}")
         self._infer = infer
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.linger_s = float(linger_s)
+        # per-row shape contract: requests in one group are concatenated, so
+        # a mismatched submit must fail AT SUBMIT, not inside the worker
+        # (where it would poison an innocent coalesced group)
+        self._row_shape = tuple(row_shape) if row_shape is not None else None
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self.stats = {
@@ -96,6 +101,13 @@ class BucketBatcher:
         """rows: float32 (n, H, W, C). Resolves to a dict of (n, ...) arrays."""
         if self._closed:
             raise RuntimeError("batcher is closed")
+        rows = np.asarray(rows, np.float32)
+        if rows.ndim != 4:
+            raise ValueError(f"rows must be (n, H, W, C), got shape {rows.shape}")
+        if self._row_shape is not None and rows.shape[1:] != self._row_shape:
+            raise ValueError(
+                f"rows {rows.shape[1:]} incompatible with {self._row_shape}"
+            )
         n = int(rows.shape[0])
         if n == 0:
             raise ValueError("empty request")
@@ -108,7 +120,12 @@ class BucketBatcher:
         with self._lock:
             self.stats["requests"] += 1
             self.stats["rows"] += n
-        self._queue.put((np.asarray(rows, np.float32), fut))
+        self._queue.put((rows, fut))
+        if self._closed:
+            # lost race with close(): the worker may already have consumed
+            # the sentinel and exited; close() drains stragglers, but a
+            # submit that lands after that drain would hang its Future
+            self._fail_pending()
         return fut
 
     def infer_now(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
@@ -119,6 +136,20 @@ class BucketBatcher:
         self._closed = True
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout)
+        self._fail_pending()
+
+    def _fail_pending(self) -> None:
+        """Fail any futures still enqueued after the worker exited (items
+        raced past the close sentinel) instead of leaving them hanging."""
+        if self._worker.is_alive():
+            return
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher is closed"))
 
     def warmup_with_shape(self, h: int, w: int, c: int) -> None:
         """Run one dummy batch per bucket so every serve-time shape is
@@ -167,12 +198,16 @@ class BucketBatcher:
     def _flush(self, group, total: int) -> None:
         if not group:
             return
-        bucket = next(b for b in self.buckets if b >= total)
-        rows = np.concatenate([g[0] for g in group], axis=0)
-        if bucket > total:
-            pad = np.zeros((bucket - total,) + rows.shape[1:], rows.dtype)
-            rows = np.concatenate([rows, pad], axis=0)
+        # EVERYTHING that can raise stays inside the try: an escaped
+        # exception here would kill the single worker thread and hang every
+        # future enqueued afterwards (submit() pre-validates shapes, but the
+        # worker must survive even a contract violation)
         try:
+            bucket = next(b for b in self.buckets if b >= total)
+            rows = np.concatenate([g[0] for g in group], axis=0)
+            if bucket > total:
+                pad = np.zeros((bucket - total,) + rows.shape[1:], rows.dtype)
+                rows = np.concatenate([rows, pad], axis=0)
             out = self._infer(rows)
             out = {k: np.asarray(v) for k, v in out.items()}
         except Exception as e:  # propagate to every waiting request
@@ -194,17 +229,12 @@ class BucketBatcher:
 
 
 def _decode_image(body: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode one PNG/JPEG request body exactly like the training pipeline
-    (eval.py _load_image): convert, BILINEAR resize to (W, H), [0,1]."""
-    from PIL import Image
+    """Decode one PNG/JPEG request body through the SAME preprocessing as
+    the eval/training pipeline (eval.py _load_image), so the served path
+    cannot silently diverge from it."""
+    from .eval import _load_image
 
-    with Image.open(io.BytesIO(body)) as im:
-        im = im.convert("L" if channels == 1 else "RGB")
-        im = im.resize((width, height), Image.BILINEAR)
-        arr = np.asarray(im, np.float32) / 255.0
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    return arr[None]  # (1, H, W, C)
+    return _load_image(io.BytesIO(body), width, height, channels == 1)[None]
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -221,9 +251,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- helpers ---------------------------------------------------------
     def _send(self, code: int, body: bytes, ctype: str) -> None:
+        if code >= 400:
+            # error paths may not have drained the request body; leftover
+            # bytes would be parsed as the next request line on this
+            # keep-alive connection (HTTP/1.1), so close it instead
+            self.close_connection = True
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if code >= 400:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -256,7 +293,10 @@ class _Handler(BaseHTTPRequestHandler):
             shape = self.meta["input_shape"]  # [None|N, H, W, C]
             h, w, c = int(shape[1]), int(shape[2]), int(shape[3])
             if ctype in ("image/png", "image/jpeg"):
-                rows = _decode_image(body, w, h, c)
+                try:
+                    rows = _decode_image(body, w, h, c)
+                except Exception as e:  # undecodable body is a client error
+                    return self._error(400, f"cannot decode image: {e}")
             elif ctype == "application/octet-stream":
                 hdr = self.headers.get("X-Shape")
                 if not hdr:
@@ -340,10 +380,24 @@ def build_server(
 
     else:
         meta = _meta or {"input_shape": [None, 1, 1, 1]}
-    batcher = BucketBatcher(_infer, buckets=buckets, linger_s=linger_s)
+    shape = meta["input_shape"]
+    if shape[0] is not None:
+        # fixed-batch artifact (cli export --batch N): the executable only
+        # accepts N, so the only valid bucket IS N — pad every group to it
+        fixed = int(shape[0])
+        if tuple(buckets) != (fixed,):
+            print(
+                f"artifact has fixed batch {fixed}; overriding buckets "
+                f"{list(buckets)} -> [{fixed}]",
+                flush=True,
+            )
+        buckets = (fixed,)
+    row_shape = (int(shape[1]), int(shape[2]), int(shape[3]))
+    batcher = BucketBatcher(
+        _infer, buckets=buckets, linger_s=linger_s, row_shape=row_shape
+    )
     if warmup:
-        shape = meta["input_shape"]
-        batcher.warmup_with_shape(int(shape[1]), int(shape[2]), int(shape[3]))
+        batcher.warmup_with_shape(*row_shape)
 
     handler = type(
         "BoundHandler", (_Handler,), {"batcher": batcher, "meta": meta}
