@@ -249,6 +249,7 @@ def cmd_serve(args):
         buckets=tuple(int(b) for b in args.buckets.split(",")),
         linger_s=args.linger_ms / 1e3,
         warmup=not args.no_warmup,
+        max_pending_rows=args.max_pending_rows or None,
     )
 
 
@@ -436,6 +437,9 @@ def main(argv=None):
                         "for others to share its device call")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the per-bucket warmup compiles at startup")
+    p.add_argument("--max-pending-rows", type=int, default=0,
+                   help="backpressure bound: reject (503) when this many "
+                        "rows are already queued (0 = 8x largest bucket)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-image", help="directory inference")

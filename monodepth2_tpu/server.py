@@ -50,6 +50,13 @@ import numpy as np
 DEFAULT_BUCKETS = (1, 4, 16, 64)
 
 
+class Overloaded(RuntimeError):
+    """Raised by submit() when the pending queue is full (backpressure).
+
+    The HTTP layer maps this to 503 + Retry-After so clients shed load
+    instead of piling onto the 120 s future timeout."""
+
+
 class BucketBatcher:
     """Coalesce concurrent requests into bucket-padded device calls.
 
@@ -63,6 +70,11 @@ class BucketBatcher:
     A request larger than the biggest bucket is rejected at submit (the
     client should chunk); this keeps worst-case latency and device memory
     bounded by max(buckets).
+
+    Backpressure: at most `max_pending_rows` rows may sit in the queue
+    (default 8× the largest bucket ≈ 8 device calls of runway). A submit
+    that would exceed it raises `Overloaded` immediately — bounded memory
+    and fast 503s under flood instead of every client timing out at 120 s.
     """
 
     def __init__(
@@ -71,12 +83,23 @@ class BucketBatcher:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         linger_s: float = 0.002,
         row_shape: Optional[Tuple[int, int, int]] = None,
+        max_pending_rows: Optional[int] = None,
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets}")
         self._infer = infer
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.linger_s = float(linger_s)
+        if max_pending_rows is None:
+            max_pending_rows = 8 * self.buckets[-1]
+        if max_pending_rows < self.buckets[-1]:
+            # must admit at least one full bucket or large valid requests
+            # would be unconditionally rejected
+            raise ValueError(
+                f"max_pending_rows {max_pending_rows} < largest bucket "
+                f"{self.buckets[-1]}"
+            )
+        self.max_pending_rows = int(max_pending_rows)
         # per-row shape contract: requests in one group are concatenated, so
         # a mismatched submit must fail AT SUBMIT, not inside the worker
         # (where it would poison an innocent coalesced group)
@@ -89,7 +112,13 @@ class BucketBatcher:
             "batches": 0,
             "padded_rows": 0,
             "errors": 0,
+            "rejected": 0,
         }
+        # backpressure accounting (all under _lock): rows enqueued but not
+        # yet picked up by the worker, and their enqueue times (FIFO, so
+        # [0] is the oldest waiter — surfaced in /healthz for operators)
+        self._pending_rows = 0
+        self._waiters: "list[float]" = []
         self._lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="bucket-batcher", daemon=True
@@ -118,6 +147,14 @@ class BucketBatcher:
             )
         fut: Future = Future()
         with self._lock:
+            if self._pending_rows + n > self.max_pending_rows:
+                self.stats["rejected"] += 1
+                raise Overloaded(
+                    f"queue full ({self._pending_rows}/{self.max_pending_rows}"
+                    f" rows pending); retry later"
+                )
+            self._pending_rows += n
+            self._waiters.append(time.monotonic())
             self.stats["requests"] += 1
             self.stats["rows"] += n
         self._queue.put((rows, fut))
@@ -131,6 +168,26 @@ class BucketBatcher:
     def infer_now(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         """Synchronous convenience: submit and wait."""
         return self.submit(rows).result()
+
+    def snapshot(self) -> Dict[str, object]:
+        """Stats + live saturation signals (for /healthz): rows waiting in
+        the queue, the bound, and how long the oldest waiter has queued."""
+        now = time.monotonic()
+        with self._lock:
+            snap: Dict[str, object] = dict(self.stats)
+            snap["queue_rows"] = self._pending_rows
+            snap["max_pending_rows"] = self.max_pending_rows
+            snap["oldest_wait_s"] = (
+                round(now - self._waiters[0], 4) if self._waiters else 0.0
+            )
+        return snap
+
+    def _dequeued(self, n: int) -> None:
+        """Worker picked up an n-row item: release its queue budget."""
+        with self._lock:
+            self._pending_rows -= n
+            if self._waiters:
+                self._waiters.pop(0)
 
     def close(self, timeout: float = 5.0) -> None:
         self._closed = True
@@ -151,12 +208,26 @@ class BucketBatcher:
             if item is not None and not item[1].done():
                 item[1].set_exception(RuntimeError("batcher is closed"))
 
-    def warmup_with_shape(self, h: int, w: int, c: int) -> None:
+    def warmup_with_shape(self, h: int, w: int, c: int, verbose: bool = False) -> None:
         """Run one dummy batch per bucket so every serve-time shape is
         compiled before the first client arrives (each concrete N of a
-        symbolic-batch artifact is its own XLA compile)."""
-        for b in self.buckets:
+        symbolic-batch artifact is its own XLA compile, ~15 s each on the
+        remote TPU compiler — `verbose` narrates so startup isn't silent)."""
+        for i, b in enumerate(self.buckets):
+            t0 = time.monotonic()
+            if verbose:
+                print(
+                    f"warmup: compiling bucket {b} "
+                    f"({i + 1}/{len(self.buckets)})...",
+                    flush=True,
+                )
             self._infer(np.zeros((b, h, w, c), np.float32))
+            if verbose:
+                print(
+                    f"warmup: bucket {b} ready in "
+                    f"{time.monotonic() - t0:.1f} s",
+                    flush=True,
+                )
 
     # -- worker side -----------------------------------------------------
     def _run(self) -> None:
@@ -166,6 +237,7 @@ class BucketBatcher:
                 if self._closed:
                     return
                 continue
+            self._dequeued(item[0].shape[0])
             group = [item]
             total = item[0].shape[0]
             deadline = time.monotonic() + self.linger_s
@@ -185,6 +257,7 @@ class BucketBatcher:
                         self._flush(group, total)
                         return
                     continue
+                self._dequeued(nxt[0].shape[0])
                 if total + nxt[0].shape[0] > self.buckets[-1]:
                     # doesn't fit: run the current group, start a new one
                     self._flush(group, total)
@@ -250,7 +323,9 @@ class _Handler(BaseHTTPRequestHandler):
             super().log_message(fmt, *args)
 
     # -- helpers ---------------------------------------------------------
-    def _send(self, code: int, body: bytes, ctype: str) -> None:
+    def _send(
+        self, code: int, body: bytes, ctype: str, headers: Optional[dict] = None
+    ) -> None:
         if code >= 400:
             # error paths may not have drained the request body; leftover
             # bytes would be parsed as the next request line on this
@@ -259,6 +334,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         if code >= 400:
             self.send_header("Connection", "close")
         self.end_headers()
@@ -273,9 +350,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- routes ----------------------------------------------------------
     def do_GET(self):  # noqa: N802 (stdlib API)
         if self.path == "/healthz":
-            with self.batcher._lock:
-                stats = dict(self.batcher.stats)
-            self._send_json(200, {"ok": True, **stats})
+            self._send_json(200, {"ok": True, **self.batcher.snapshot()})
         elif self.path == "/meta":
             self._send_json(200, self.meta)
         else:
@@ -326,6 +401,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(415, f"unsupported Content-Type {ctype!r}")
             try:
                 out = self.batcher.submit(rows).result(timeout=120)
+            except Overloaded as e:
+                # backpressure: shed load NOW with a retry hint instead of
+                # letting floods accumulate toward the 120 s future timeout
+                return self._send(
+                    503,
+                    json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                    headers={"Retry-After": "1"},
+                )
             except ValueError as e:
                 return self._error(400, str(e))
             accept = self.headers.get("Accept", "")
@@ -360,6 +444,8 @@ def build_server(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     linger_s: float = 0.002,
     warmup: bool = True,
+    max_pending_rows: Optional[int] = None,
+    verbose: bool = False,
     _infer: Optional[Callable] = None,
     _meta: Optional[dict] = None,
 ) -> Tuple[ThreadingHTTPServer, BucketBatcher]:
@@ -394,10 +480,14 @@ def build_server(
         buckets = (fixed,)
     row_shape = (int(shape[1]), int(shape[2]), int(shape[3]))
     batcher = BucketBatcher(
-        _infer, buckets=buckets, linger_s=linger_s, row_shape=row_shape
+        _infer,
+        buckets=buckets,
+        linger_s=linger_s,
+        row_shape=row_shape,
+        max_pending_rows=max_pending_rows,
     )
     if warmup:
-        batcher.warmup_with_shape(*row_shape)
+        batcher.warmup_with_shape(*row_shape, verbose=verbose)
 
     handler = type(
         "BoundHandler", (_Handler,), {"batcher": batcher, "meta": meta}
@@ -414,14 +504,24 @@ def serve(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     linger_s: float = 0.002,
     warmup: bool = True,
+    max_pending_rows: Optional[int] = None,
 ) -> None:
     """Blocking entry point (cli.py serve)."""
+    print(f"loading {artifact_path}...", flush=True)
     server, batcher = build_server(
-        artifact_path, host, port, buckets, linger_s, warmup
+        artifact_path,
+        host,
+        port,
+        buckets,
+        linger_s,
+        warmup,
+        max_pending_rows=max_pending_rows,
+        verbose=True,
     )
     print(
         f"serving {artifact_path} on http://{host}:{port} "
-        f"(buckets {list(buckets)}, linger {linger_s * 1e3:.1f} ms)",
+        f"(buckets {list(batcher.buckets)}, linger {linger_s * 1e3:.1f} ms, "
+        f"max pending {batcher.max_pending_rows} rows)",
         flush=True,
     )
     try:

@@ -84,6 +84,42 @@ def test_batcher_rejects_oversized_request():
         b.close()
 
 
+def test_batcher_backpressure_rejects_when_full():
+    from monodepth2_tpu.server import Overloaded
+
+    gate, entered = threading.Event(), threading.Event()
+
+    def slow_infer(rows):
+        entered.set()
+        assert gate.wait(10)
+        return fake_infer(rows)
+
+    b = BucketBatcher(slow_infer, buckets=(2,), linger_s=0.0,
+                      max_pending_rows=2)
+    try:
+        f0 = b.submit(rand_rows(2, seed=0))  # worker picks this up...
+        assert entered.wait(10)              # ...and blocks inside infer
+        f1 = b.submit(rand_rows(2, seed=1))  # queued: pending = 2/2
+        snap = b.snapshot()
+        assert snap["queue_rows"] == 2
+        assert snap["oldest_wait_s"] >= 0.0
+        with pytest.raises(Overloaded, match="queue full"):
+            b.submit(rand_rows(1, seed=2))   # 2 + 1 > 2 -> shed
+        assert b.stats["rejected"] == 1
+        gate.set()                           # drain; queued work unaffected
+        assert f0.result(timeout=10)["disparity"].shape == (2, H, W, 1)
+        assert f1.result(timeout=10)["disparity"].shape == (2, H, W, 1)
+        assert b.snapshot()["queue_rows"] == 0
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_batcher_rejects_bound_below_largest_bucket():
+    with pytest.raises(ValueError, match="max_pending_rows"):
+        BucketBatcher(fake_infer, buckets=(1, 4), max_pending_rows=2)
+
+
 def test_batcher_propagates_infer_errors():
     def broken(rows):
         raise RuntimeError("device on fire")
@@ -198,6 +234,69 @@ def test_http_rejects_bad_requests(http_server, body, ctype, headers, code, msg)
         _post(base, "/v1/depth", body, ctype, headers)
     assert e.value.code == code
     assert msg in json.loads(e.value.read())["error"]
+
+
+def test_http_overload_returns_503_with_retry_after():
+    """Flood behavior: when the queue bound is hit, requests get an
+    immediate 503 + Retry-After (bounded memory), and the requests already
+    admitted still complete once the device frees up."""
+    gate, entered = threading.Event(), threading.Event()
+
+    def slow_infer(rows):
+        entered.set()
+        assert gate.wait(10)
+        return fake_infer(rows)
+
+    meta = {"input_shape": [None, H, W, C]}
+    server, batcher = build_server(
+        "unused", port=0, buckets=(1,), linger_s=0.0, warmup=False,
+        max_pending_rows=1, _infer=slow_infer, _meta=meta,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    hdrs = {"X-Shape": f"1,{H},{W},{C}"}
+    results = {}
+
+    def post_async(key):
+        def run():
+            try:
+                with _post(base, "/v1/depth", rand_rows(1).tobytes(),
+                           "application/octet-stream", hdrs) as r:
+                    results[key] = r.status
+            except urllib.error.HTTPError as e:
+                results[key] = e.code
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        return th
+
+    try:
+        ta = post_async("a")              # dequeued, blocks inside infer
+        assert entered.wait(10)
+        tb = post_async("b")              # admitted: queue 1/1
+        for _ in range(100):              # wait until b is actually queued
+            if batcher.snapshot()["queue_rows"] >= 1:
+                break
+            import time as _t
+            _t.sleep(0.02)
+        assert batcher.snapshot()["queue_rows"] == 1
+        with pytest.raises(urllib.error.HTTPError) as e:  # c: queue full
+            _post(base, "/v1/depth", rand_rows(1).tobytes(),
+                  "application/octet-stream", hdrs)
+        assert e.value.code == 503
+        assert e.value.headers["Retry-After"] == "1"
+        assert "queue full" in json.loads(e.value.read())["error"]
+        gate.set()
+        ta.join(10), tb.join(10)
+        assert results == {"a": 200, "b": 200}
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["rejected"] == 1
+        assert health["max_pending_rows"] == 1
+    finally:
+        gate.set()
+        server.shutdown()
+        batcher.close()
 
 
 def test_http_rejects_out_of_range_values(http_server):
