@@ -44,10 +44,13 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--disp-reg-steps", type=int)
     p.add_argument("--pose-tz-init", type=float,
                    help="forward-motion prior: initial tz of the pose head")
-    p.add_argument("--per-item-k", action="store_true", default=None,
+    p.add_argument("--per-item-k", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="train each item with its own camera intrinsics "
                         "(per-sequence KITTI calibration; the reference uses "
-                        "the first sequence's K for the whole chain)")
+                        "the first sequence's K for the whole chain). "
+                        "Auto-enabled when the chain's calibrations differ; "
+                        "--no-per-item-k forces the reference behavior")
     p.add_argument("--steps-per-call", type=int,
                    help="train steps per host dispatch (amortizes ~4ms/step "
                         "remote-dispatch latency; see BASELINE.md)")
@@ -139,6 +142,25 @@ def _resolve_checkpoint_config(args) -> "TrainConfig":
     return cfg
 
 
+def _auto_per_item_k(cfg, dataset, explicit: dict):
+    """Default per_item_K ON when the chain's children carry genuinely
+    different calibrations: the reference would miscalibrate all but the
+    first sequence (src/Monodepth.jl:99); per-item intrinsics recover the
+    lost accuracy (VALIDATION.md per-item-K experiment) at ~zero step cost.
+    User-explicit settings (--per-item-k/--no-per-item-k or a config-file
+    entry) always win."""
+    if cfg.per_item_K or "per_item_K" in explicit:
+        return cfg
+    if getattr(dataset, "heterogeneous_K", False):
+        cfg = dataclasses.replace(cfg, per_item_K=True)
+        print(
+            "chain has heterogeneous calibrations: enabling per-item "
+            "intrinsics (--no-per-item-k restores first-child-K)",
+            flush=True,
+        )
+    return cfg
+
+
 def _build_dataset(args, cfg):
     from .data import (
         DChain,
@@ -212,6 +234,7 @@ def cmd_train(args):
 
     cfg = _build_config(args)
     dataset = _build_dataset(args, cfg)
+    cfg = _auto_per_item_k(cfg, dataset, _explicit_config(args))
     mesh = None
     if args.mesh > 1 or multi:
         import jax

@@ -212,3 +212,23 @@ def test_nested_chain_heterogeneity_and_fail_fast():
     assert not sampler.supports_item_K
     with pytest.raises(ValueError, match="neither"):
         DataLoader(sampler, 2, shuffle=False, with_K=True)
+
+
+def test_auto_per_item_k_enabling():
+    """CLI auto-enable (VERDICT r4 #1): heterogeneous chains turn per_item_K
+    on by default; explicit user settings (either direction) always win;
+    homogeneous data never flips it."""
+    from monodepth2_tpu.cli import _auto_per_item_k
+
+    _, _, chain = _two_K_chain((64, 32))
+    homo = SyntheticTriplets(n=2, target_size=(64, 32))
+    cfg = TrainConfig(target_size=(64, 32))
+    assert not cfg.per_item_K
+
+    assert _auto_per_item_k(cfg, chain, {}).per_item_K is True
+    assert _auto_per_item_k(cfg, homo, {}).per_item_K is False
+    # explicit off (--no-per-item-k / config file) suppresses the auto-enable
+    assert _auto_per_item_k(cfg, chain, {"per_item_K": False}).per_item_K is False
+    # explicit on stays on regardless of data
+    cfg_on = TrainConfig(target_size=(64, 32), per_item_K=True)
+    assert _auto_per_item_k(cfg_on, homo, {"per_item_K": True}).per_item_K is True

@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def measure(batch, steps_per_call=10, remat=False):
+def measure(batch, steps_per_call=10, remat=False, size=(416, 128)):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +32,7 @@ def measure(batch, steps_per_call=10, remat=False):
     )
 
     cfg = TrainConfig(
-        target_size=(416, 128), batch_size=batch, in_channels=1,
+        target_size=size, batch_size=batch, in_channels=1,
         compute_dtype="bfloat16", warp_method="pallas",
         steps_per_call=steps_per_call, remat=remat,
     )
@@ -60,24 +60,29 @@ def measure(batch, steps_per_call=10, remat=False):
         _ = float(metrics["loss"][-1])
         windows.append((time.perf_counter() - t0) / (n_calls * steps_per_call))
     dt = min(windows)
-    return {"batch": batch, "remat": remat, "ms_per_step": round(dt * 1e3, 2),
+    return {"batch": batch, "remat": remat, "size": list(size), "ms_per_step": round(dt * 1e3, 2),
             "img_per_sec": round(batch / dt, 1)}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="4,16,64")
+    ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--remat", action="store_true",
+                    help="measure every batch with remat (large resolutions)")
     ap.add_argument("--remat64", action="store_true",
                     help="also measure batch 64 with remat")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     rows = []
+    size = (args.width, args.height)
     for b in (int(x) for x in args.batches.split(",")):
-        r = measure(b)
+        r = measure(b, remat=args.remat, size=size)
         rows.append(r)
         print(json.dumps(r), flush=True)
     if args.remat64:
-        r = measure(64, remat=True)
+        r = measure(64, remat=True, size=size)
         rows.append(r)
         print(json.dumps(r), flush=True)
     if args.json_out:

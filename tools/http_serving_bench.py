@@ -111,6 +111,7 @@ def main():
     ).astype(np.float32).tobytes()
 
     def one_request():
+        t0 = time.perf_counter()
         req = urllib.request.Request(
             base + "/v1/depth", data=body, method="POST"
         )
@@ -118,7 +119,8 @@ def main():
         req.add_header("X-Shape", f"{n},{h},{w},{c}")
         with urllib.request.urlopen(req, timeout=300) as r:
             out = np.load(io.BytesIO(r.read()))
-            return float(out["disparity"].mean())  # force full read
+            _ = float(out["disparity"].mean())  # force full read
+        return time.perf_counter() - t0
 
     try:
         one_request()  # connection + response-path warmup
@@ -126,7 +128,9 @@ def main():
             before = dict(batcher.stats)
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=conc) as pool:
-                list(pool.map(lambda _: one_request(), range(args.requests)))
+                lats = list(
+                    pool.map(lambda _: one_request(), range(args.requests))
+                )
             dt = time.perf_counter() - t0
             batches = batcher.stats["batches"] - before["batches"]
             padded = batcher.stats["padded_rows"] - before["padded_rows"]
@@ -137,6 +141,8 @@ def main():
                 "rows_per_request": n,
                 "img_per_s": round(total_rows / dt, 1),
                 "ms_per_request": round(dt / args.requests * 1e3, 2),
+                "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),
+                "p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 2),
                 "device_batches": batches,
                 "rows_per_device_call": round(total_rows / max(batches, 1), 1),
                 "padded_fraction": round(
