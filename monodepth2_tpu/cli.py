@@ -273,6 +273,7 @@ def cmd_serve(args):
         linger_s=args.linger_ms / 1e3,
         warmup=not args.no_warmup,
         max_pending_rows=args.max_pending_rows or None,
+        workers=args.workers,
     )
 
 
@@ -463,6 +464,10 @@ def main(argv=None):
     p.add_argument("--max-pending-rows", type=int, default=0,
                    help="backpressure bound: reject (503) when this many "
                         "rows are already queued (0 = 8x largest bucket)")
+    p.add_argument("--workers", type=int, default=2,
+                   help="pipelined dispatch depth: batcher threads packing "
+                        "the next micro-batch while a device call is in "
+                        "flight (1 = strictly serial device calls)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-image", help="directory inference")

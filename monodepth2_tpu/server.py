@@ -29,8 +29,12 @@ Endpoints:
       Content-Type: image/png | image/jpeg — one encoded image; decoded,
           resized to the artifact's (W,H) and grayscaled exactly like the
           training pipeline (eval.py _load_image)
-      Accept: application/json — base64-encoded float32 arrays + shapes
+      Accept: application/json — base64-encoded arrays + shapes
       otherwise -> application/octet-stream .npz (disparity, depth)
+      X-Fields: disparity — subset of output fields to return (default all;
+          depth is recomputable client-side from disparity)
+      X-Dtype: float16|float32 — response precision (default float32);
+          both knobs exist because a transport-bound link pays per byte
 """
 
 from __future__ import annotations
@@ -48,6 +52,19 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 import numpy as np
 
 DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty clients.
+
+    The stdlib default (socketserver.TCPServer.request_queue_size = 5) drops
+    SYNs with a connection reset when more than ~5 clients connect in the
+    same instant — observed as ECONNRESET at concurrency 32 in
+    tools/http_serving_bench.py. Micro-batching exists precisely to absorb
+    such bursts, so the backlog must be at least the intended concurrency."""
+
+    request_queue_size = 128
+    daemon_threads = True
 
 
 class Overloaded(RuntimeError):
@@ -75,6 +92,15 @@ class BucketBatcher:
     (default 8× the largest bucket ≈ 8 device calls of runway). A submit
     that would exceed it raises `Overloaded` immediately — bounded memory
     and fast 503s under flood instead of every client timing out at 120 s.
+
+    Pipelined dispatch: `workers` threads share the queue, so the next
+    micro-batch is packed and dispatched while a device call is in flight.
+    With one worker, throughput is capped at bucket/round-trip — on the
+    remote-TPU tunnel the round-trip is ~95 ms, so batch-64 tops out at
+    ~670 img/s even though the chip itself does a batch-64 forward in
+    ~23 ms. Two-plus workers overlap host packing + transfer with device
+    compute (jit calls are thread-safe), trading a slightly lower
+    rows-per-call for a large throughput gain under sustained load.
     """
 
     def __init__(
@@ -84,6 +110,7 @@ class BucketBatcher:
         linger_s: float = 0.002,
         row_shape: Optional[Tuple[int, int, int]] = None,
         max_pending_rows: Optional[int] = None,
+        workers: int = 2,
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets}")
@@ -120,10 +147,14 @@ class BucketBatcher:
         self._pending_rows = 0
         self._waiters: "list[float]" = []
         self._lock = threading.Lock()
-        self._worker = threading.Thread(
-            target=self._run, name="bucket-batcher", daemon=True
-        )
-        self._worker.start()
+        self._threads = [
+            threading.Thread(
+                target=self._run, name=f"bucket-batcher-{i}", daemon=True
+            )
+            for i in range(max(1, int(workers)))
+        ]
+        for t in self._threads:
+            t.start()
 
     # -- client side -----------------------------------------------------
     def submit(self, rows: np.ndarray) -> "Future":
@@ -191,14 +222,17 @@ class BucketBatcher:
 
     def close(self, timeout: float = 5.0) -> None:
         self._closed = True
-        self._queue.put(None)  # wake the worker
-        self._worker.join(timeout)
+        for _ in self._threads:  # one wake-up sentinel per worker
+            self._queue.put(None)
+        deadline = time.monotonic() + timeout
+        for t in self._threads:
+            t.join(max(0.0, deadline - time.monotonic()))
         self._fail_pending()
 
     def _fail_pending(self) -> None:
-        """Fail any futures still enqueued after the worker exited (items
-        raced past the close sentinel) instead of leaving them hanging."""
-        if self._worker.is_alive():
+        """Fail any futures still enqueued after the workers exited (items
+        raced past the close sentinels) instead of leaving them hanging."""
+        if any(t.is_alive() for t in self._threads):
             return
         while True:
             try:
@@ -272,8 +306,8 @@ class BucketBatcher:
         if not group:
             return
         # EVERYTHING that can raise stays inside the try: an escaped
-        # exception here would kill the single worker thread and hang every
-        # future enqueued afterwards (submit() pre-validates shapes, but the
+        # exception here would kill a worker thread and hang futures
+        # enqueued afterwards (submit() pre-validates shapes, but the
         # worker must survive even a contract violation)
         try:
             bucket = next(b for b in self.buckets if b >= total)
@@ -412,21 +446,44 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             except ValueError as e:
                 return self._error(400, str(e))
+            # response-size controls: on a transport-bound link (e.g. the
+            # remote-TPU tunnel: ~95 ms RTT + ~65 MB/s) the fp32
+            # disparity+depth reply is 2/3 of the bytes per row, so letting
+            # clients pick fields / halve precision directly multiplies
+            # requests/s (depth = disp_to_depth(disparity) is recomputable
+            # client-side; fp16 is lossless for disparity in (0,1) and
+            # ~1e-3-relative for depth <= 100)
+            fields_hdr = self.headers.get("X-Fields")
+            if fields_hdr:
+                fields = [f.strip() for f in fields_hdr.split(",") if f.strip()]
+                unknown = [f for f in fields if f not in out]
+                if unknown:
+                    return self._error(
+                        400,
+                        f"unknown fields {unknown}; available {sorted(out)}",
+                    )
+                out = {k: out[k] for k in fields}
+            dt_name = (self.headers.get("X-Dtype") or "float32").strip()
+            if dt_name not in ("float32", "float16"):
+                return self._error(
+                    400, f"X-Dtype must be float32|float16, got {dt_name!r}"
+                )
+            rdtype = np.dtype(dt_name)
             accept = self.headers.get("Accept", "")
             if "application/json" in accept:
                 payload = {
                     k: {
                         "shape": list(v.shape),
-                        "dtype": "float32",
+                        "dtype": dt_name,
                         "b64": base64.b64encode(
-                            np.ascontiguousarray(v, np.float32).tobytes()
+                            np.ascontiguousarray(v, rdtype).tobytes()
                         ).decode(),
                     }
                     for k, v in out.items()
                 }
                 return self._send_json(200, payload)
             buf = io.BytesIO()
-            np.savez(buf, **{k: np.asarray(v, np.float32) for k, v in out.items()})
+            np.savez(buf, **{k: np.asarray(v, rdtype) for k, v in out.items()})
             return self._send(200, buf.getvalue(), "application/octet-stream")
         except BrokenPipeError:
             pass
@@ -445,6 +502,7 @@ def build_server(
     linger_s: float = 0.002,
     warmup: bool = True,
     max_pending_rows: Optional[int] = None,
+    workers: int = 2,
     verbose: bool = False,
     _infer: Optional[Callable] = None,
     _meta: Optional[dict] = None,
@@ -485,6 +543,7 @@ def build_server(
         linger_s=linger_s,
         row_shape=row_shape,
         max_pending_rows=max_pending_rows,
+        workers=workers,
     )
     if warmup:
         batcher.warmup_with_shape(*row_shape, verbose=verbose)
@@ -492,8 +551,7 @@ def build_server(
     handler = type(
         "BoundHandler", (_Handler,), {"batcher": batcher, "meta": meta}
     )
-    server = ThreadingHTTPServer((host, port), handler)
-    server.daemon_threads = True
+    server = _Server((host, port), handler)
     return server, batcher
 
 
@@ -505,6 +563,7 @@ def serve(
     linger_s: float = 0.002,
     warmup: bool = True,
     max_pending_rows: Optional[int] = None,
+    workers: int = 2,
 ) -> None:
     """Blocking entry point (cli.py serve)."""
     print(f"loading {artifact_path}...", flush=True)
@@ -516,12 +575,14 @@ def serve(
         linger_s,
         warmup,
         max_pending_rows=max_pending_rows,
+        workers=workers,
         verbose=True,
     )
     print(
         f"serving {artifact_path} on http://{host}:{port} "
         f"(buckets {list(batcher.buckets)}, linger {linger_s * 1e3:.1f} ms, "
-        f"max pending {batcher.max_pending_rows} rows)",
+        f"max pending {batcher.max_pending_rows} rows, "
+        f"{len(batcher._threads)} dispatch workers)",
         flush=True,
     )
     try:

@@ -94,8 +94,10 @@ def test_batcher_backpressure_rejects_when_full():
         assert gate.wait(10)
         return fake_infer(rows)
 
+    # workers=1: the bound is on rows *queued behind* in-flight calls, so the
+    # test needs exactly one call in flight to fill the queue deterministically
     b = BucketBatcher(slow_infer, buckets=(2,), linger_s=0.0,
-                      max_pending_rows=2)
+                      max_pending_rows=2, workers=1)
     try:
         f0 = b.submit(rand_rows(2, seed=0))  # worker picks this up...
         assert entered.wait(10)              # ...and blocks inside infer
@@ -112,6 +114,39 @@ def test_batcher_backpressure_rejects_when_full():
         assert b.snapshot()["queue_rows"] == 0
     finally:
         gate.set()
+        b.close()
+
+
+def test_batcher_pipelined_dispatch_overlaps_device_calls():
+    """With workers=2, a second micro-batch is dispatched while the first
+    call is still in flight (the whole point of pipelined dispatch: the
+    remote-TPU round-trip must overlap with packing the next batch)."""
+    first, second, release = threading.Event(), threading.Event(), threading.Event()
+    calls = []
+    lock = threading.Lock()
+
+    def slow_infer(rows):
+        with lock:
+            calls.append(rows.shape[0])
+            k = len(calls)
+        (first if k == 1 else second).set()
+        assert release.wait(10)  # both calls must get here CONCURRENTLY
+        return fake_infer(rows)
+
+    b = BucketBatcher(slow_infer, buckets=(2,), linger_s=0.0, workers=2)
+    try:
+        f0 = b.submit(rand_rows(2, seed=0))
+        assert first.wait(10)
+        f1 = b.submit(rand_rows(2, seed=1))
+        # if dispatch were serial, the second infer could never start while
+        # the first blocks — this wait would time out
+        assert second.wait(10), "second device call did not overlap the first"
+        release.set()
+        assert f0.result(timeout=10)["disparity"].shape == (2, H, W, 1)
+        assert f1.result(timeout=10)["disparity"].shape == (2, H, W, 1)
+        assert b.stats["batches"] == 2
+    finally:
+        release.set()
         b.close()
 
 
@@ -203,6 +238,44 @@ def test_http_json_response(http_server):
         np.testing.assert_allclose(disp, fake_infer(x)["disparity"], rtol=1e-6)
 
 
+def test_http_fields_and_dtype_response_controls(http_server):
+    """X-Fields subsets the reply; X-Dtype: float16 halves its bytes —
+    the knobs a transport-bound deployment uses to buy requests/s."""
+    base, _ = http_server
+    x = rand_rows(2)
+    hdrs = {"X-Shape": f"2,{H},{W},{C}",
+            "X-Fields": "disparity", "X-Dtype": "float16"}
+    with _post(base, "/v1/depth", x.tobytes(),
+               "application/octet-stream", hdrs) as r:
+        out = np.load(io.BytesIO(r.read()))
+        assert set(out.files) == {"disparity"}
+        assert out["disparity"].dtype == np.float16
+        np.testing.assert_allclose(
+            out["disparity"].astype(np.float32),
+            fake_infer(x)["disparity"], rtol=1e-3, atol=1e-4,
+        )
+    # JSON path honors them too and labels the dtype
+    hdrs["Accept"] = "application/json"
+    with _post(base, "/v1/depth", x.tobytes(),
+               "application/octet-stream", hdrs) as r:
+        payload = json.loads(r.read())
+        assert set(payload) == {"disparity"}
+        assert payload["disparity"]["dtype"] == "float16"
+        disp = np.frombuffer(
+            base64.b64decode(payload["disparity"]["b64"]), "<f2"
+        ).reshape(payload["disparity"]["shape"])
+        np.testing.assert_allclose(
+            disp.astype(np.float32), fake_infer(x)["disparity"],
+            rtol=1e-3, atol=1e-4,
+        )
+    # unknown field / bad dtype are client errors, not 500s
+    for bad in ({"X-Fields": "nope"}, {"X-Dtype": "int8"}):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/v1/depth", x.tobytes(), "application/octet-stream",
+                  {"X-Shape": f"2,{H},{W},{C}", **bad})
+        assert ei.value.code == 400
+
+
 def test_http_png_request(http_server):
     from PIL import Image
 
@@ -250,7 +323,7 @@ def test_http_overload_returns_503_with_retry_after():
     meta = {"input_shape": [None, H, W, C]}
     server, batcher = build_server(
         "unused", port=0, buckets=(1,), linger_s=0.0, warmup=False,
-        max_pending_rows=1, _infer=slow_infer, _meta=meta,
+        max_pending_rows=1, workers=1, _infer=slow_infer, _meta=meta,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

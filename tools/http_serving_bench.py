@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--concurrency", default="1,8,32")
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--rows-per-request", type=int, default=1)
+    ap.add_argument("--workers", type=int, default=2,
+                    help="batcher dispatch pipeline depth")
+    ap.add_argument("--fields", default=None,
+                    help="X-Fields response subset, e.g. 'disparity'")
+    ap.add_argument("--dtype", default=None,
+                    help="X-Dtype response precision: float16|float32")
     ap.add_argument("--artifact", default=None,
                     help="reuse an existing export instead of re-exporting")
     ap.add_argument("--cpu", action="store_true")
@@ -97,7 +103,7 @@ def main():
     buckets = tuple(int(b) for b in args.buckets.split(","))
     server, batcher = build_server(
         artifact, port=0, buckets=buckets, linger_s=args.linger_ms / 1e3,
-        warmup=True,
+        warmup=True, workers=args.workers,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -117,9 +123,13 @@ def main():
         )
         req.add_header("Content-Type", "application/octet-stream")
         req.add_header("X-Shape", f"{n},{h},{w},{c}")
+        if args.fields:
+            req.add_header("X-Fields", args.fields)
+        if args.dtype:
+            req.add_header("X-Dtype", args.dtype)
         with urllib.request.urlopen(req, timeout=300) as r:
             out = np.load(io.BytesIO(r.read()))
-            _ = float(out["disparity"].mean())  # force full read
+            _ = float(out["disparity"].astype(np.float32).mean())  # full read
         return time.perf_counter() - t0
 
     try:
@@ -139,6 +149,9 @@ def main():
                 "concurrency": conc,
                 "requests": args.requests,
                 "rows_per_request": n,
+                "workers": args.workers,
+                "fields": args.fields or "all",
+                "dtype": args.dtype or "float32",
                 "img_per_s": round(total_rows / dt, 1),
                 "ms_per_request": round(dt / args.requests * 1e3, 2),
                 "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),

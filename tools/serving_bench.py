@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--export", default="/tmp/serve_bench.mdtpu")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sync", action="store_true",
+                    help="request-response ceiling: host numpy in, host "
+                         "numpy out, one blocking call per iteration (what "
+                         "an HTTP server must pay), instead of the chained "
+                         "on-device loop")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +65,35 @@ def main():
         rng.uniform(size=(args.batch, cfg.height, cfg.width, 1)), jnp.float32
     )
 
+    x_host = np.asarray(x)
+
+    def timed_sync(tag, call):
+        # the ceiling a request-response server can actually reach: every
+        # iteration pays host->device input transfer, device compute, and
+        # device->host fetch of BOTH outputs (disparity + depth), exactly
+        # like one BucketBatcher device call. No chaining, no overlap.
+        out = call(x_host)
+        _ = {k: np.asarray(v) for k, v in out.items()}
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = call(x_host)
+            _ = {k: np.asarray(v) for k, v in out.items()}
+        dt = (time.perf_counter() - t0) / args.iters
+        print(
+            json.dumps(
+                {
+                    "tag": tag + "_sync",
+                    "batch": args.batch,
+                    "ms_per_batch": round(dt * 1e3, 3),
+                    "img_per_s": round(args.batch / dt, 1),
+                }
+            ),
+            flush=True,
+        )
+
     def timed(tag, call):
+        if args.sync:
+            return timed_sync(tag, call)
         # warmup/compile, then a chained loop so nothing overlaps the clock.
         # Warm with BOTH input flavors the loop will use (the raw uncommitted
         # x and a committed chained carry): jit specializes on placement for
