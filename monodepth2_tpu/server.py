@@ -23,9 +23,11 @@ Endpoints:
   GET  /healthz       -> {"ok": true, ...batcher stats}
   GET  /meta          -> the artifact's meta.json
   POST /v1/depth      -> disparity + depth for a batch of images
-      Content-Type: application/octet-stream — raw little-endian float32
-          rows in [0,1], header `X-Shape: N,H,W,C` (H,W,C must match the
-          artifact; values outside [0,1] are rejected, not clamped)
+      Content-Type: application/octet-stream — raw little-endian rows in
+          [0,1], header `X-Shape: N,H,W,C` (H,W,C must match the artifact;
+          values outside [0,1] are rejected, not clamped);
+          X-Input-Dtype: float32 (default) | float16 | uint8 (scaled by
+          1/255 — what cameras produce; quarter the request bytes)
       Content-Type: image/png | image/jpeg — one encoded image; decoded,
           resized to the artifact's (W,H) and grayscaled exactly like the
           training pipeline (eval.py _load_image)
@@ -40,6 +42,7 @@ Endpoints:
 from __future__ import annotations
 
 import base64
+import inspect
 import io
 import json
 import queue
@@ -115,6 +118,16 @@ class BucketBatcher:
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets}")
         self._infer = infer
+        # does infer support fetch-side field selection? (build_server's
+        # does; test fakes and older callables may be single-argument)
+        try:
+            sig = inspect.signature(infer)
+            self._infer_takes_fields = len(sig.parameters) >= 2 or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+        except (TypeError, ValueError):
+            self._infer_takes_fields = False
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.linger_s = float(linger_s)
         if max_pending_rows is None:
@@ -157,8 +170,18 @@ class BucketBatcher:
             t.start()
 
     # -- client side -----------------------------------------------------
-    def submit(self, rows: np.ndarray) -> "Future":
-        """rows: float32 (n, H, W, C). Resolves to a dict of (n, ...) arrays."""
+    def submit(
+        self, rows: np.ndarray, fields: Optional[Sequence[str]] = None
+    ) -> "Future":
+        """rows: float32 (n, H, W, C). Resolves to a dict of (n, ...) arrays.
+
+        `fields`: output names this request needs (None = all). When every
+        request in a coalesced group restricts its fields, only the union
+        is fetched from the device — on a transport-bound link (remote-TPU
+        tunnel ~20 MB/s effective) the device->host fetch of unwanted
+        outputs is the dominant cost, not the HTTP bytes, so the selection
+        must be pushed down to the fetch (measured: slicing fields at the
+        HTTP layer alone bought 0% throughput)."""
         if self._closed:
             raise RuntimeError("batcher is closed")
         rows = np.asarray(rows, np.float32)
@@ -188,7 +211,7 @@ class BucketBatcher:
             self._waiters.append(time.monotonic())
             self.stats["requests"] += 1
             self.stats["rows"] += n
-        self._queue.put((rows, fut))
+        self._queue.put((rows, fut, tuple(fields) if fields else None))
         if self._closed:
             # lost race with close(): the worker may already have consumed
             # the sentinel and exited; close() drains stragglers, but a
@@ -315,20 +338,33 @@ class BucketBatcher:
             if bucket > total:
                 pad = np.zeros((bucket - total,) + rows.shape[1:], rows.dtype)
                 rows = np.concatenate([rows, pad], axis=0)
-            out = self._infer(rows)
+            # fetch-side field selection: only if EVERY request in the
+            # group restricted its fields does the union shrink the fetch
+            fields: Optional[Tuple[str, ...]] = None
+            if all(g[2] is not None for g in group):
+                seen: list = []
+                for g in group:
+                    seen.extend(f for f in g[2] if f not in seen)
+                fields = tuple(seen)
+            if self._infer_takes_fields:
+                out = self._infer(rows, fields)
+            else:
+                out = self._infer(rows)
+                if fields is not None:
+                    out = {k: out[k] for k in fields}
             out = {k: np.asarray(v) for k, v in out.items()}
         except Exception as e:  # propagate to every waiting request
             with self._lock:
                 self.stats["errors"] += 1
-            for _, fut in group:
-                if not fut.cancelled():
-                    fut.set_exception(e)
+            for g in group:
+                if not g[1].cancelled():
+                    g[1].set_exception(e)
             return
         with self._lock:
             self.stats["batches"] += 1
             self.stats["padded_rows"] += bucket - total
         off = 0
-        for g_rows, fut in group:
+        for g_rows, fut, _ in group:
             n = g_rows.shape[0]
             if not fut.cancelled():
                 fut.set_result({k: v[off : off + n] for k, v in out.items()})
@@ -418,14 +454,32 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._error(
                         400, f"X-Shape {dims} incompatible with (N, {h}, {w}, {c})"
                     )
-                expect = dims[0] * h * w * c * 4
+                # compact request encodings: uint8 (what cameras produce —
+                # scaled by 1/255, identical to the PNG path's quantization)
+                # and float16 quarter/halve the request bytes, which is 1/3
+                # of the traffic on a transport-bound link
+                in_name = (self.headers.get("X-Input-Dtype") or "float32").strip()
+                wire = {"float32": "<f4", "float16": "<f2", "uint8": "u1"}.get(
+                    in_name
+                )
+                if wire is None:
+                    return self._error(
+                        400,
+                        f"X-Input-Dtype must be float32|float16|uint8, "
+                        f"got {in_name!r}",
+                    )
+                expect = dims[0] * h * w * c * np.dtype(wire).itemsize
                 if len(body) != expect:
                     return self._error(
                         400, f"body is {len(body)} bytes, shape needs {expect}"
                     )
-                rows = np.frombuffer(body, "<f4").reshape(dims)
-                if not np.isfinite(rows).all():
-                    return self._error(400, "non-finite values in input")
+                rows = np.frombuffer(body, wire).reshape(dims)
+                if in_name == "uint8":
+                    rows = rows.astype(np.float32) / 255.0
+                else:
+                    rows = rows.astype(np.float32)
+                    if not np.isfinite(rows).all():
+                        return self._error(400, "non-finite values in input")
                 lo, hi = float(rows.min()), float(rows.max())
                 if lo < 0.0 or hi > 1.0:
                     return self._error(
@@ -433,8 +487,24 @@ class _Handler(BaseHTTPRequestHandler):
                     )
             else:
                 return self._error(415, f"unsupported Content-Type {ctype!r}")
+            # parse + validate the response field subset BEFORE submit so
+            # the selection can be pushed down to the device fetch
+            fields = None
+            fields_hdr = self.headers.get("X-Fields")
+            if fields_hdr:
+                fields = [f.strip() for f in fields_hdr.split(",") if f.strip()]
+                known = self.meta.get("outputs")
+                if known:
+                    unknown = [f for f in fields if f not in known]
+                    if unknown:
+                        return self._error(
+                            400,
+                            f"unknown fields {unknown}; available {known}",
+                        )
+                if not fields:
+                    fields = None
             try:
-                out = self.batcher.submit(rows).result(timeout=120)
+                out = self.batcher.submit(rows, fields=fields).result(timeout=120)
             except Overloaded as e:
                 # backpressure: shed load NOW with a retry hint instead of
                 # letting floods accumulate toward the 120 s future timeout
@@ -446,16 +516,9 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             except ValueError as e:
                 return self._error(400, str(e))
-            # response-size controls: on a transport-bound link (e.g. the
-            # remote-TPU tunnel: ~95 ms RTT + ~65 MB/s) the fp32
-            # disparity+depth reply is 2/3 of the bytes per row, so letting
-            # clients pick fields / halve precision directly multiplies
-            # requests/s (depth = disp_to_depth(disparity) is recomputable
-            # client-side; fp16 is lossless for disparity in (0,1) and
-            # ~1e-3-relative for depth <= 100)
-            fields_hdr = self.headers.get("X-Fields")
-            if fields_hdr:
-                fields = [f.strip() for f in fields_hdr.split(",") if f.strip()]
+            if fields is not None:
+                # the future resolves to the coalesced group's field UNION;
+                # subset to what this request actually asked for
                 unknown = [f for f in fields if f not in out]
                 if unknown:
                     return self._error(
@@ -463,6 +526,9 @@ class _Handler(BaseHTTPRequestHandler):
                         f"unknown fields {unknown}; available {sorted(out)}",
                     )
                 out = {k: out[k] for k in fields}
+            # X-Dtype float16 halves the response bytes (lossless for
+            # disparity in (0,1), ~1e-3-relative for depth <= 100; depth is
+            # also recomputable client-side from disparity via X-Fields)
             dt_name = (self.headers.get("X-Dtype") or "float32").strip()
             if dt_name not in ("float32", "float16"):
                 return self._error(
@@ -518,9 +584,14 @@ def build_server(
         served = load_inference(artifact_path)
         meta = served.meta
 
-        def _infer(rows: np.ndarray) -> Dict[str, np.ndarray]:
-            out = served(rows)
-            return {k: np.asarray(v) for k, v in out.items()}
+        def _infer(
+            rows: np.ndarray, fields: Optional[Sequence[str]] = None
+        ) -> Dict[str, np.ndarray]:
+            out = served(rows)  # device arrays: nothing fetched yet
+            keys = fields if fields is not None else list(out.keys())
+            # np.asarray is the device->host transfer; skipping unwanted
+            # outputs here is what makes X-Fields matter on a slow link
+            return {k: np.asarray(out[k]) for k in keys}
 
     else:
         meta = _meta or {"input_shape": [None, 1, 1, 1]}

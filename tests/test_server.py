@@ -276,6 +276,60 @@ def test_http_fields_and_dtype_response_controls(http_server):
         assert ei.value.code == 400
 
 
+def test_http_uint8_input(http_server):
+    """uint8 request bodies are scaled by 1/255 — byte-identical inputs to
+    the fp32 path after quantization, at 1/4 the request bytes."""
+    base, _ = http_server
+    x8 = (np.random.RandomState(7).rand(1, H, W, C) * 255).astype(np.uint8)
+    with _post(base, "/v1/depth", x8.tobytes(), "application/octet-stream",
+               {"X-Shape": f"1,{H},{W},{C}", "X-Input-Dtype": "uint8"}) as r:
+        out = np.load(io.BytesIO(r.read()))
+        expect = fake_infer(x8.astype(np.float32) / 255.0)["disparity"]
+        np.testing.assert_allclose(out["disparity"], expect, rtol=1e-6)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/v1/depth", x8.tobytes(), "application/octet-stream",
+              {"X-Shape": f"1,{H},{W},{C}", "X-Input-Dtype": "int32"})
+    assert ei.value.code == 400
+
+
+def test_batcher_field_selection_pushed_to_fetch():
+    """When every request in a group restricts fields, infer receives the
+    union (the fetch shrinks); a None-fields request forces a full fetch."""
+    seen = []
+
+    def recording_infer(rows, fields=None):
+        seen.append(fields)
+        out = fake_infer(rows)
+        return {k: out[k] for k in (fields or out)}
+
+    b = BucketBatcher(recording_infer, buckets=(4,), linger_s=0.05, workers=1)
+    try:
+        f0 = b.submit(rand_rows(1, seed=0), fields=("disparity",))
+        f1 = b.submit(rand_rows(1, seed=1), fields=("disparity", "depth"))
+        assert set(f0.result(timeout=10)) == {"disparity", "depth"}  # union
+        assert set(f1.result(timeout=10)) == {"disparity", "depth"}
+        assert seen[-1] == ("disparity", "depth")
+        f2 = b.submit(rand_rows(1, seed=2), fields=("disparity",))
+        assert set(f2.result(timeout=10)) == {"disparity"}
+        assert seen[-1] == ("disparity",)
+        f3 = b.submit(rand_rows(1, seed=3))  # unrestricted -> full fetch
+        assert set(f3.result(timeout=10)) == {"disparity", "depth"}
+        assert seen[-1] is None
+    finally:
+        b.close()
+
+
+def test_batcher_single_arg_infer_still_works():
+    """Legacy single-argument infer callables get field subsetting applied
+    after the call instead of pushed down."""
+    b = BucketBatcher(fake_infer, buckets=(2,), linger_s=0.0, workers=1)
+    try:
+        out = b.submit(rand_rows(1), fields=("depth",)).result(timeout=10)
+        assert set(out) == {"depth"}
+    finally:
+        b.close()
+
+
 def test_http_png_request(http_server):
     from PIL import Image
 

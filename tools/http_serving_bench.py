@@ -51,6 +51,8 @@ def main():
                     help="X-Fields response subset, e.g. 'disparity'")
     ap.add_argument("--dtype", default=None,
                     help="X-Dtype response precision: float16|float32")
+    ap.add_argument("--input-dtype", default=None,
+                    help="X-Input-Dtype request encoding: uint8|float16")
     ap.add_argument("--artifact", default=None,
                     help="reuse an existing export instead of re-exporting")
     ap.add_argument("--cpu", action="store_true")
@@ -112,9 +114,13 @@ def main():
         meta = json.loads(r.read())
     h, w, c = meta["input_shape"][1:]
     n = args.rows_per_request
-    body = np.random.default_rng(0).uniform(
-        size=(n, h, w, c)
-    ).astype(np.float32).tobytes()
+    rows = np.random.default_rng(0).uniform(size=(n, h, w, c))
+    if args.input_dtype == "uint8":
+        body = (rows * 255).astype(np.uint8).tobytes()
+    elif args.input_dtype == "float16":
+        body = rows.astype(np.float16).tobytes()
+    else:
+        body = rows.astype(np.float32).tobytes()
 
     def one_request():
         t0 = time.perf_counter()
@@ -127,6 +133,8 @@ def main():
             req.add_header("X-Fields", args.fields)
         if args.dtype:
             req.add_header("X-Dtype", args.dtype)
+        if args.input_dtype:
+            req.add_header("X-Input-Dtype", args.input_dtype)
         with urllib.request.urlopen(req, timeout=300) as r:
             out = np.load(io.BytesIO(r.read()))
             _ = float(out["disparity"].astype(np.float32).mean())  # full read
@@ -152,6 +160,7 @@ def main():
                 "workers": args.workers,
                 "fields": args.fields or "all",
                 "dtype": args.dtype or "float32",
+                "input_dtype": args.input_dtype or "float32",
                 "img_per_s": round(total_rows / dt, 1),
                 "ms_per_request": round(dt / args.requests * 1e3, 2),
                 "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),
