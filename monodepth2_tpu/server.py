@@ -122,9 +122,12 @@ class BucketBatcher:
         # does; test fakes and older callables may be single-argument)
         try:
             sig = inspect.signature(infer)
-            self._infer_takes_fields = len(sig.parameters) >= 2 or any(
-                p.kind == inspect.Parameter.VAR_KEYWORD
-                for p in sig.parameters.values()
+            positional = [
+                p for p in sig.parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+            self._infer_takes_fields = len(positional) >= 2 or any(
+                p.kind == p.VAR_POSITIONAL for p in sig.parameters.values()
             )
         except (TypeError, ValueError):
             self._infer_takes_fields = False
