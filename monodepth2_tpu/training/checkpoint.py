@@ -74,7 +74,11 @@ def load_checkpoint(path: str, template_state):
                 "the treedef's string form, which embeds optax class reprs, "
                 "so a jax/optax UPGRADE can also trip this even when leaves "
                 "are compatible — set MDTPU_CKPT_SKIP_TREEDEF=1 to fall "
-                "back to leaf-count/shape validation in that case"
+                "back to leaf-count/shape validation in that case. If the "
+                "structure GENUINELY changed (e.g. lr_warmup_steps/"
+                "lr_decay_steps added to a run that started without them, "
+                "which adds an optax schedule count leaf), migrate the "
+                "checkpoint first: tools/migrate_checkpoint.py"
             )
     with np.load(path + ".npz") as data:
         keys = sorted(data.files)

@@ -148,3 +148,64 @@ def test_inference_load_across_optimizer_structure(tmp_path):
         jax.tree_util.tree_leaves(params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_migrate_checkpoint_schedule_added(tmp_path, setup):
+    """Adding lr_decay_steps to a run that started without them changes the
+    optax treedef (adam(callable) carries a schedule count leaf), so resume
+    refuses — the exact failure observed resuming runs/ssl_640_smoke with a
+    decay schedule. tools/migrate_checkpoint.graft moves the old leaves into
+    the new structure and seeds the count at the checkpoint's step."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from migrate_checkpoint import graft
+
+    cfg, model, state, tx, ctx = setup
+    step = jax.jit(make_train_step(model, tx, ctx, cfg))
+    batch = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(2, 3, 32, 64, 1)), jnp.float32
+    )
+    s = state
+    for _ in range(3):
+        s, _, _ = step(s, batch)
+    path = str(tmp_path / "ckpt-3")
+    save_checkpoint(path, s, metadata={"step": 3, "config": cfg.to_json()})
+
+    import dataclasses
+
+    new_cfg = dataclasses.replace(cfg, lr_decay_steps=10, lr_decay_factor=0.1)
+    new_state, new_tx = create_train_state(model, new_cfg)
+
+    # resume under the new structure must refuse (structures differ)
+    with pytest.raises(ValueError, match="different state structure"):
+        load_checkpoint(path, new_state)
+
+    old = load_checkpoint(path, s)
+    migrated, copied, fresh, dropped = graft(old, new_state, int(old.step))
+    assert dropped == []
+    # every fresh leaf is a schedule/clip counter, seeded at the step
+    for k in fresh:
+        assert k.rsplit(".", 1)[-1].strip("'][ ") == "count", k
+    fresh_leaves = {k for k in fresh}
+    assert fresh_leaves, "expected at least one new count leaf"
+
+    # params/stats/step/rng round-trip exactly
+    for a, b in zip(
+        jax.tree_util.tree_leaves((old.params, old.stats, old.step, old.rng)),
+        jax.tree_util.tree_leaves(
+            (migrated.params, migrated.stats, migrated.step, migrated.rng)
+        ),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the migrated state round-trips through save/load under the NEW config
+    # template and keeps training without shape/structure complaints
+    path2 = str(tmp_path / "ckpt-3-migrated")
+    save_checkpoint(path2, migrated, metadata={"step": 3})
+    restored = load_checkpoint(path2, new_state)
+    step2 = jax.jit(make_train_step(model, new_tx, ctx, new_cfg))
+    s2, metrics, _ = step2(restored, batch)
+    assert int(s2.step) == 4
+    assert np.isfinite(float(metrics["loss"]))
