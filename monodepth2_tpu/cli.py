@@ -151,7 +151,12 @@ def _auto_per_item_k(cfg, dataset, explicit: dict):
     entry) always win."""
     if cfg.per_item_K or "per_item_K" in explicit:
         return cfg
-    if getattr(dataset, "heterogeneous_K", False):
+    # supports_item_K must gate too: a chain can be heterogeneous (per the
+    # recursion) while containing a K-less child — auto-enabling there
+    # would crash DataLoader(with_K=True) where first-child-K trains fine
+    if getattr(dataset, "heterogeneous_K", False) and getattr(
+        dataset, "supports_item_K", False
+    ):
         cfg = dataclasses.replace(cfg, per_item_K=True)
         print(
             "chain has heterogeneous calibrations: enabling per-item "

@@ -114,6 +114,7 @@ class BucketBatcher:
         row_shape: Optional[Tuple[int, int, int]] = None,
         max_pending_rows: Optional[int] = None,
         workers: int = 2,
+        output_fields: Optional[Sequence[str]] = None,
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets}")
@@ -147,6 +148,12 @@ class BucketBatcher:
         # a mismatched submit must fail AT SUBMIT, not inside the worker
         # (where it would poison an innocent coalesced group)
         self._row_shape = tuple(row_shape) if row_shape is not None else None
+        # known output names: lets submit() reject a bogus `fields` BEFORE
+        # it coalesces with innocent requests (same poisoning argument as
+        # row_shape above); None = unknown, validated at the HTTP layer
+        self._output_fields = (
+            tuple(output_fields) if output_fields is not None else None
+        )
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self.stats = {
@@ -197,6 +204,13 @@ class BucketBatcher:
         n = int(rows.shape[0])
         if n == 0:
             raise ValueError("empty request")
+        if fields is not None and self._output_fields is not None:
+            unknown = [f for f in fields if f not in self._output_fields]
+            if unknown:
+                raise ValueError(
+                    f"unknown fields {unknown}; available "
+                    f"{list(self._output_fields)}"
+                )
         if n > self.buckets[-1]:
             raise ValueError(
                 f"request of {n} rows exceeds the largest bucket "
@@ -354,7 +368,11 @@ class BucketBatcher:
             else:
                 out = self._infer(rows)
                 if fields is not None:
-                    out = {k: out[k] for k in fields}
+                    # tolerate a stray unknown name (possible only when no
+                    # output_fields contract was given): the offending
+                    # request 400s at the HTTP layer's post-result check
+                    # instead of a KeyError poisoning the whole group
+                    out = {k: out[k] for k in fields if k in out}
             out = {k: np.asarray(v) for k, v in out.items()}
         except Exception as e:  # propagate to every waiting request
             with self._lock:
@@ -478,16 +496,21 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 rows = np.frombuffer(body, wire).reshape(dims)
                 if in_name == "uint8":
+                    # /255 of uint8 is always finite and in [0,1] — no scan
                     rows = rows.astype(np.float32) / 255.0
                 else:
-                    rows = rows.astype(np.float32)
+                    # asarray keeps the already-float32 wire body zero-copy
+                    # (frombuffer view); astype would duplicate the whole
+                    # request on the hot path
+                    rows = np.asarray(rows, np.float32)
                     if not np.isfinite(rows).all():
                         return self._error(400, "non-finite values in input")
-                lo, hi = float(rows.min()), float(rows.max())
-                if lo < 0.0 or hi > 1.0:
-                    return self._error(
-                        400, f"inputs must be in [0,1], got [{lo:.3g},{hi:.3g}]"
-                    )
+                    lo, hi = float(rows.min()), float(rows.max())
+                    if lo < 0.0 or hi > 1.0:
+                        return self._error(
+                            400,
+                            f"inputs must be in [0,1], got [{lo:.3g},{hi:.3g}]",
+                        )
             else:
                 return self._error(415, f"unsupported Content-Type {ctype!r}")
             # parse + validate the response field subset BEFORE submit so
@@ -506,6 +529,13 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                 if not fields:
                     fields = None
+            # validate the response dtype BEFORE submit too: a bad X-Dtype
+            # must not consume a device call / queue budget before its 400
+            dt_name = (self.headers.get("X-Dtype") or "float32").strip()
+            if dt_name not in ("float32", "float16"):
+                return self._error(
+                    400, f"X-Dtype must be float32|float16, got {dt_name!r}"
+                )
             try:
                 out = self.batcher.submit(rows, fields=fields).result(timeout=120)
             except Overloaded as e:
@@ -531,12 +561,8 @@ class _Handler(BaseHTTPRequestHandler):
                 out = {k: out[k] for k in fields}
             # X-Dtype float16 halves the response bytes (lossless for
             # disparity in (0,1), ~1e-3-relative for depth <= 100; depth is
-            # also recomputable client-side from disparity via X-Fields)
-            dt_name = (self.headers.get("X-Dtype") or "float32").strip()
-            if dt_name not in ("float32", "float16"):
-                return self._error(
-                    400, f"X-Dtype must be float32|float16, got {dt_name!r}"
-                )
+            # also recomputable client-side from disparity via X-Fields);
+            # validated before submit, above
             rdtype = np.dtype(dt_name)
             accept = self.headers.get("Accept", "")
             if "application/json" in accept:
@@ -618,6 +644,7 @@ def build_server(
         row_shape=row_shape,
         max_pending_rows=max_pending_rows,
         workers=workers,
+        output_fields=meta.get("outputs"),
     )
     if warmup:
         batcher.warmup_with_shape(*row_shape, verbose=verbose)

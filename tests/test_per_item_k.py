@@ -232,3 +232,21 @@ def test_auto_per_item_k_enabling():
     # explicit on stays on regardless of data
     cfg_on = TrainConfig(target_size=(64, 32), per_item_K=True)
     assert _auto_per_item_k(cfg_on, homo, {"per_item_K": True}).per_item_K is True
+
+    # heterogeneous but NOT per-item-capable (a K-less child): auto-enable
+    # must stay off — flipping it would turn a working first-child-K
+    # default into a DataLoader(with_K=True) crash at training start
+    class _NoK:
+        target_id, source_ids = 1, (0, 2)
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i, rng=None):
+            return np.zeros((3, 32, 64, 1), np.float32)
+
+    a = _TaggedDS(1.0, _K(100.0, 64, 32))
+    b = _TaggedDS(2.0, _K(200.0, 64, 32))
+    mixed = DChain([DChain([a, b]), _NoK()])
+    assert mixed.heterogeneous_K and not mixed.supports_item_K
+    assert _auto_per_item_k(cfg, mixed, {}).per_item_K is False

@@ -436,3 +436,49 @@ def test_http_rejects_out_of_range_values(http_server):
         )
     assert e.value.code == 400
     assert "[0,1]" in json.loads(e.value.read())["error"]
+
+
+def test_batcher_submit_rejects_unknown_fields():
+    """With an output contract, a bogus field must fail AT SUBMIT (same
+    poisoning argument as row_shape): otherwise it coalesces with innocent
+    requests and the whole group 500s."""
+    b = BucketBatcher(
+        fake_infer, buckets=(2,), linger_s=0.0,
+        output_fields=("disparity", "depth"),
+    )
+    try:
+        with pytest.raises(ValueError, match="unknown fields"):
+            b.submit(rand_rows(1), fields=("nope",))
+        assert b.stats["requests"] == 0  # rejected before admission
+    finally:
+        b.close()
+
+
+def test_batcher_unknown_field_does_not_poison_group():
+    """Without an output contract the worker cannot pre-validate; a stray
+    unknown name must degrade to a missing key for the offender, never a
+    KeyError that set_exception()s every innocent future in the group."""
+    b = BucketBatcher(fake_infer, buckets=(4,), linger_s=0.25, workers=1)
+    try:
+        good = b.submit(rand_rows(1), fields=("disparity",))
+        bad = b.submit(rand_rows(1, seed=1), fields=("nope",))
+        out = good.result(timeout=10)
+        assert "disparity" in out  # innocent request unharmed
+        assert "nope" not in bad.result(timeout=10)
+    finally:
+        b.close()
+
+
+def test_http_bad_dtype_rejected_before_submit(http_server):
+    """A bad X-Dtype must 400 BEFORE consuming a device call or queue
+    budget (X-Fields got this treatment; X-Dtype was validated after the
+    result arrived)."""
+    base, batcher = http_server
+    before = batcher.stats["requests"]
+    body = rand_rows(1).tobytes()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/depth", body, "application/octet-stream",
+              {"X-Shape": f"1,{H},{W},{C}", "X-Dtype": "int8"})
+    assert e.value.code == 400
+    assert "X-Dtype" in json.loads(e.value.read())["error"]
+    assert batcher.stats["requests"] == before  # never submitted

@@ -137,7 +137,9 @@ def main():
             req.add_header("X-Input-Dtype", args.input_dtype)
         with urllib.request.urlopen(req, timeout=300) as r:
             out = np.load(io.BytesIO(r.read()))
-            _ = float(out["disparity"].astype(np.float32).mean())  # full read
+            # full read of one returned field (not hardcoded 'disparity':
+            # --fields may exclude it)
+            _ = float(out[out.files[0]].astype(np.float32).mean())
         return time.perf_counter() - t0
 
     try:

@@ -97,6 +97,12 @@ def main() -> int:
                     help="output path prefix; may equal --checkpoint (in-place)")
     ap.add_argument("--cpu", action="store_true", default=True,
                     help="run on CPU (default; migration needs no accelerator)")
+    ap.add_argument("--force", action="store_true",
+                    help="write the migrated checkpoint even when leaves are "
+                         "dropped or non-count leaves are re-initialized "
+                         "(positional optax-chain keypaths shifted, e.g. a "
+                         "transform added BEFORE adam — Adam moments would "
+                         "restart from zero)")
     args = ap.parse_args()
 
     import jax
@@ -117,7 +123,15 @@ def main() -> int:
         new_cfg = TrainConfig.from_json(f.read())
 
     def template(cfg):
-        model = Model.create(depth=cfg.encoder_depth, in_channels=cfg.in_channels)
+        # must mirror training/loop.py's construction exactly: omitting
+        # scale_levels/pose_tz_init would rebuild a template whose decoder
+        # structure differs from the checkpoint's for non-default configs
+        model = Model.create(
+            depth=cfg.encoder_depth,
+            in_channels=cfg.in_channels,
+            scale_levels=cfg.scale_levels,
+            pose_tz_init=cfg.pose_tz_init,
+        )
         state, _ = create_train_state(model, cfg)
         return state
 
@@ -125,6 +139,22 @@ def main() -> int:
     new_tmpl = template(new_cfg)
     step = int(old_state.step)
     migrated, copied, fresh, dropped = graft(old_state, new_tmpl, step)
+
+    # keypaths into the optax chain are POSITIONAL: a transform added ahead
+    # of adam shifts every moment path, so mu/nu land in dropped and zero-
+    # init as fresh. That silent wipe must be a refusal, not a success.
+    bad_fresh = [
+        k for k in fresh if k.rsplit(".", 1)[-1].strip("'][ ") != "count"
+    ]
+    if (dropped or bad_fresh) and not args.force:
+        sys.exit(
+            "refusing to write a lossy migration (re-run with --force to "
+            f"accept):\n  dropped (old leaves with no new home): {dropped}\n"
+            f"  re-initialized (non-count new leaves): {bad_fresh}\n"
+            "Likely cause: the new optax chain re-orders/adds transforms, "
+            "shifting positional keypaths. Migrate in two hops (first match "
+            "the old chain order) or accept the re-init with --force."
+        )
 
     meta_out = dict(meta)
     meta_out["config"] = new_cfg.to_json()
