@@ -6,7 +6,7 @@ calls at src/Monodepth.jl:264-267; SURVEY.md §5 flags this as a gap).
     python -m monodepth2_tpu.cli eval-image --checkpoint models/ckpt-100 --images dir/
     python -m monodepth2_tpu.cli eval-video --checkpoint models/ckpt-100 --video v.mp4
     python -m monodepth2_tpu.cli simple-depth --dtk-dir imgs/ --files list.txt
-    python -m monodepth2_tpu.cli refine-dtk --dtk-dir imgs/ --files list.txt
+    python -m monodepth2_tpu.cli refine-dtk --root imgs/ --files list.txt
 """
 
 from __future__ import annotations
