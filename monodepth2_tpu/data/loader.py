@@ -22,6 +22,29 @@ import jax
 from .dchain import resolves_item_K
 
 
+def accepts_rng(dataset) -> bool:
+    """True when `dataset.__getitem__` takes a second positional (rng) arg.
+
+    Probed ONCE from the signature instead of `except TypeError` per item:
+    a TypeError raised INSIDE a two-arg __getitem__ (a genuine dataset bug)
+    must propagate, not be silently retried without the rng — the retry
+    would yield unaugmented/differently-seeded items and corrupt the
+    reproducibility contract the rng keying exists for."""
+    import inspect
+
+    try:
+        sig = inspect.signature(dataset.__getitem__)
+    except (TypeError, ValueError):
+        return False  # builtins/extension types: assume classic 1-arg
+    n_positional = 0
+    for p in sig.parameters.values():
+        if p.kind == p.VAR_POSITIONAL:
+            return True
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n_positional += 1
+    return n_positional >= 2  # (idx, rng) — self is already bound
+
+
 class DataLoader:
     """Iterates (N, L, H, W, C) float32 numpy batches.
 
@@ -88,6 +111,7 @@ class DataLoader:
         epoch = self.epoch
 
         owns_rng = getattr(self.dataset, "owns_rng", False)
+        takes_rng = not owns_rng and accepts_rng(self.dataset)
         # per-item intrinsics ride with the batch as {"frames", "K"} so each
         # item warps with its own calibration (DChain.K_of; the reference
         # trains a whole chain with one K, src/Monodepth.jl:99)
@@ -107,10 +131,9 @@ class DataLoader:
             if owns_rng:
                 return self.dataset[int(idx)]
             rng = np.random.default_rng([self.seed, epoch, int(idx)])
-            try:
+            if takes_rng:
                 return self.dataset.__getitem__(int(idx), rng)
-            except TypeError:
-                return self.dataset[int(idx)]
+            return self.dataset[int(idx)]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop_evt = threading.Event()

@@ -47,6 +47,17 @@ def initialize_distributed(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
+        if process_id is not None:
+            # a lone process_id IS explicit (partial) configuration: falling
+            # back to single-process here would silently train N independent
+            # identically-seeded jobs — the exact trap this function exists
+            # to prevent
+            raise ValueError(
+                "JAX_PROCESS_ID/process_id is set but coordinator_address "
+                "and num_processes are not — set JAX_COORDINATOR_ADDRESS "
+                "and JAX_NUM_PROCESSES too (or unset JAX_PROCESS_ID for a "
+                "single-process run)"
+            )
         if not auto:
             return False  # single-process
         jax.distributed.initialize()  # pod auto-detect (raises off-pod)
@@ -146,6 +157,12 @@ class PerHostSampler:
         for attr in ("K", "invK", "target_id", "source_ids"):
             if hasattr(dataset, attr):
                 setattr(self, attr, getattr(dataset, attr))
+        # probe the rng capability ONCE (see data.loader.accepts_rng): a
+        # per-item `except TypeError` would mask genuine TypeErrors inside
+        # a two-arg __getitem__ and silently retry without the rng
+        from ..data.loader import accepts_rng
+
+        self._takes_rng = accepts_rng(dataset)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -180,11 +197,10 @@ class PerHostSampler:
         bit-equal to a P×(N/P) run.
         """
         gidx = self._global_index(i)
-        rng = np.random.default_rng([self.seed, self.epoch, gidx])
-        try:
-            return self.dataset.__getitem__(gidx, rng)
-        except TypeError:
+        if not self._takes_rng:
             return self.dataset[gidx]
+        rng = np.random.default_rng([self.seed, self.epoch, gidx])
+        return self.dataset.__getitem__(gidx, rng)
 
     def _global_index(self, i: int) -> int:
         if i < 0 or i >= len(self):
@@ -196,12 +212,12 @@ class PerHostSampler:
 
     @property
     def supports_item_K(self) -> bool:
-        """Forwarded fail-fast precondition for per_item_K (see
-        DChain.supports_item_K / DataLoader(with_K=...))."""
-        s = getattr(self.dataset, "supports_item_K", None)
-        if s is not None:
-            return bool(s)
-        return hasattr(self.dataset, "K_of") or hasattr(self.dataset, "K")
+        """Forwarded fail-fast precondition for per_item_K — routed through
+        data.dchain.resolves_item_K, the ONE probe function, so this wrapper
+        can never diverge from how K is actually resolved."""
+        from ..data.dchain import resolves_item_K
+
+        return resolves_item_K(self.dataset)
 
     def K_of(self, i: int) -> np.ndarray:
         """Per-item intrinsics for LOCAL loader index i — same global-order

@@ -122,18 +122,22 @@ class ServedModel:
         # uncommitted outputs / committed eager results would trigger a
         # full recompile (~15 s on the remote compiler) per placement
         # flavor. device_put on an already-placed array is a no-op view.
-        x = jax.device_put(jnp.asarray(x, jnp.float32), self._device)
+        # validate BEFORE the device_put: a wrong-resolution batch must be
+        # rejected on the host, not after paying a multi-second H2D transfer
+        # of ~41 MB over the ~15-20 MB/s tunnel for an input about to raise
+        shape = np.shape(x)
         want = self.meta["input_shape"]
-        if list(x.shape[1:]) != want[1:]:
+        if list(shape[1:]) != want[1:]:
             raise ValueError(
-                f"input {x.shape} incompatible with exported spec "
+                f"input {shape} incompatible with exported spec "
                 f"(N, {want[1]}, {want[2]}, {want[3]})"
             )
-        if want[0] is not None and x.shape[0] != want[0]:
+        if want[0] is not None and shape[0] != want[0]:
             raise ValueError(
                 f"artifact was exported with fixed batch {want[0]}, "
-                f"got {x.shape[0]}"
+                f"got {shape[0]}"
             )
+        x = jax.device_put(jnp.asarray(x, jnp.float32), self._device)
         return self._call(x)
 
 

@@ -21,7 +21,6 @@ from ..data import DataLoader, device_prefetch, placement_prefetch
 from ..models import Model
 from ..parallel import (
     PerHostSampler,
-    make_mesh,
     make_parallel_scanned_train_step,
     make_parallel_train_step,
     shard_batch,
@@ -306,139 +305,166 @@ def fit(
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.save_dir, exist_ok=True)
 
+    # debug_nans is a GLOBAL jax config: set it for this fit() only and
+    # restore on every exit (including the FloatingPointError it exists to
+    # raise) — leaking it into later fit() calls in the same process would
+    # slow them and fail runs whose configs disabled the check
+    prev_debug_nans = None
     if cfg.debug_nans:
+        prev_debug_nans = bool(jax.config.jax_debug_nans)
         jax.config.update("jax_debug_nans", True)
+    try:
+        timer = StepTimer()
+        # epoch-position resume: the shuffle is a pure function of (seed, epoch)
+        # and step counts batches, so (epoch, batch cursor) is recoverable from
+        # step alone — no epoch is retrained and the data order continues exactly
+        # where the crashed run stopped (the reference cannot resume at all,
+        # src/Monodepth.jl:191-193)
+        resumed_step = int(state.step)
+        if resumed_step and steps_per_epoch:
+            start_epoch = resumed_step // steps_per_epoch
+            loader.epoch = start_epoch
+            loader.skip_next = resumed_step % steps_per_epoch
+        # host-side mirror of state.step: reading int(state.step) per
+        # dispatch would block until the step completes (a full ~95 ms RTT
+        # on the remote-TPU tunnel per dispatch), serializing the host with
+        # the device and defeating the placement prefetch. step counts are
+        # host-derivable: resumed_step + micro-steps dispatched so far.
+        host_step = resumed_step
+        done = False
+        # a fit() resumed AT or PAST max_steps must not train another
+        # dispatch group (it used to train steps_per_call extra steps per
+        # re-invocation because the check ran only after a dispatch)
+        if max_steps is not None and resumed_step >= max_steps:
+            done = True
+        for epoch in range(start_epoch, cfg.epochs):
+            if done:
+                break
+            if sampler is not None:
+                sampler.set_epoch(epoch)
+            src = iter(loader)
+            if spc > 1:
+                src = _group_batches(src, spc)
+            if mesh is not None:
+                # sharded host→device placement, double-buffered: the next
+                # batch's (sharded) placement is dispatched while the current
+                # step runs, so input DMA rides under compute exactly like the
+                # single-device path (VERDICT r3 weak#2: the mesh branches used
+                # to place synchronously inside the step loop). Multi-process:
+                # shard_host_batch assembles the global array from this host's
+                # rows only; steps_per_call groups stack this host's rows —
+                # every process stacks the SAME k global batches (the sampler's
+                # global shuffle is seed-deterministic), so boundaries agree.
+                as_f32 = lambda b: jax.tree_util.tree_map(
+                    lambda x: np.asarray(x, np.float32), b
+                )
+                put = (
+                    (lambda b: shard_host_batch(as_f32(b), mesh, stacked=spc > 1))
+                    if multi_process
+                    else (lambda b: shard_batch(as_f32(b), mesh, stacked=spc > 1))
+                )
+                batches = placement_prefetch(src, put, size=2)
+            else:
+                batches = device_prefetch(src, size=2, dtype=jnp.float32)
+            if progress:
+                # live loss/throughput bar (reference: ProgressMeter at
+                # src/Monodepth.jl:154,196)
+                from tqdm import tqdm
 
-    timer = StepTimer()
-    # epoch-position resume: the shuffle is a pure function of (seed, epoch)
-    # and step counts batches, so (epoch, batch cursor) is recoverable from
-    # step alone — no epoch is retrained and the data order continues exactly
-    # where the crashed run stopped (the reference cannot resume at all,
-    # src/Monodepth.jl:191-193)
-    resumed_step = int(state.step)
-    if resumed_step and steps_per_epoch:
-        start_epoch = resumed_step // steps_per_epoch
-        loader.epoch = start_epoch
-        loader.skip_next = resumed_step % steps_per_epoch
-    done = False
-    for epoch in range(start_epoch, cfg.epochs):
-        if done:
-            break
-        if sampler is not None:
-            sampler.set_epoch(epoch)
-        src = iter(loader)
-        if spc > 1:
-            src = _group_batches(src, spc)
-        if mesh is not None:
-            # sharded host→device placement, double-buffered: the next
-            # batch's (sharded) placement is dispatched while the current
-            # step runs, so input DMA rides under compute exactly like the
-            # single-device path (VERDICT r3 weak#2: the mesh branches used
-            # to place synchronously inside the step loop). Multi-process:
-            # shard_host_batch assembles the global array from this host's
-            # rows only; steps_per_call groups stack this host's rows —
-            # every process stacks the SAME k global batches (the sampler's
-            # global shuffle is seed-deterministic), so boundaries agree.
-            as_f32 = lambda b: jax.tree_util.tree_map(
-                lambda x: np.asarray(x, np.float32), b
-            )
-            put = (
-                (lambda b: shard_host_batch(as_f32(b), mesh, stacked=spc > 1))
-                if multi_process
-                else (lambda b: shard_batch(as_f32(b), mesh, stacked=spc > 1))
-            )
-            batches = placement_prefetch(src, put, size=2)
-        else:
-            batches = device_prefetch(src, size=2, dtype=jnp.float32)
-        if progress:
-            # live loss/throughput bar (reference: ProgressMeter at
-            # src/Monodepth.jl:154,196)
-            from tqdm import tqdm
+                # the first epoch after a mid-epoch resume yields only the
+                # un-skipped remainder; an unadjusted total would leave the
+                # bar stuck far below 100% at epoch end
+                ep_batches = steps_per_epoch
+                if epoch == start_epoch and resumed_step and steps_per_epoch:
+                    ep_batches -= resumed_step % steps_per_epoch
+                batches = tqdm(
+                    batches, total=-(-ep_batches // spc),
+                    desc=f"epoch {epoch + 1}/{cfg.epochs}", leave=False,
+                )
+            for i, batch in enumerate(batches):
+                state, metrics, aux = step(state, batch)
+                timer.tick()
+                # micro-steps this dispatch (tail groups may be short)
+                k_done = int(_batch_frames(batch).shape[0]) if spc > 1 else 1
+                host_step += k_done
+                global_step = host_step  # == int(state.step), no device sync
 
-            batches = tqdm(
-                batches, total=-(-steps_per_epoch // spc),
-                desc=f"epoch {epoch + 1}/{cfg.epochs}", leave=False,
-            )
-        for i, batch in enumerate(batches):
-            state, metrics, aux = step(state, batch)
-            timer.tick()
-            global_step = int(state.step)
-            # micro-steps this dispatch (tail groups may be short)
-            k_done = int(_batch_frames(batch).shape[0]) if spc > 1 else 1
-
-            # retrace tripwire (SURVEY.md §5: perf-bug guard analog of
-            # CUDA.allowscalar(false)) — a growing jit cache means changing
-            # batch shapes/dtypes are forcing recompiles every step
-            if global_step == 2 or global_step % 100 == 0:
-                n_traces = jit_trace_count(step)
-                if n_traces is not None and n_traces > 2:
-                    print(
-                        f"WARNING: train step retraced {n_traces}x — check for "
-                        "varying batch shapes/dtypes in the input pipeline"
-                    )
-
-            if _crossed(cfg.log_every, global_step, k_done):
-                # log the loss of the micro-step that actually crossed the
-                # log_every multiple, at its true step index (with spc>1 the
-                # dispatch can jump the counter past the multiple; all K
-                # per-micro-step values are returned)
-                log_step = (global_step // cfg.log_every) * cfg.log_every
-                off = k_done - 1 - (global_step - log_step)
-                if spc > 1 and 0 <= off < k_done:
-                    loss = float(metrics["loss"][off])
-                    mean_disp = float(metrics["mean_disparity"][off])
-                else:
-                    log_step = global_step
-                    loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
-                    mean_disp = float(
-                        metrics["mean_disparity"][-1]
-                        if spc > 1 else metrics["mean_disparity"]
-                    )
-                ips = timer.images_per_sec(cfg.batch_size * k_done)
-                # durable metrics stream (reference only has a live progress
-                # bar, src/Monodepth.jl:196); one JSON object per line
-                if is_writer:
-                    with open(
-                        os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
-                    ) as mf:
-                        mf.write(json.dumps({
-                            "step": log_step, "epoch": epoch, "loss": loss,
-                            "mean_disparity": mean_disp,
-                            "img_per_sec": round(ips, 1), "ts": time.time(),
-                        }) + "\n")
-                if progress and hasattr(batches, "set_postfix"):
-                    batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
-                if verbose and not progress:
-                    print(
-                        f"epoch {epoch + 1}/{cfg.epochs} step {global_step} "
-                        f"loss {loss:.5f} {ips:.1f} img/s"
-                    )
-                if is_writer:
-                    disp = np.asarray(aux["disparity"][0, ..., 0])
-                    save_disparity(
-                        disp,
-                        os.path.join(cfg.log_dir, f"disp-{global_step}.png"),
-                    )
-                    for sid, w in enumerate(aux["warped"]):
-                        save_warped(
-                            np.asarray(w[0]),
-                            os.path.join(
-                                cfg.log_dir, f"warp-{global_step}-{sid}.png"
-                            ),
+                # retrace tripwire (SURVEY.md §5: perf-bug guard analog of
+                # CUDA.allowscalar(false)) — a growing jit cache means changing
+                # batch shapes/dtypes are forcing recompiles every step
+                if global_step == 2 or global_step % 100 == 0:
+                    n_traces = jit_trace_count(step)
+                    if n_traces is not None and n_traces > 2:
+                        print(
+                            f"WARNING: train step retraced {n_traces}x — check for "
+                            "varying batch shapes/dtypes in the input pipeline"
                         )
 
-            if _crossed(cfg.save_every, global_step, k_done) and is_writer:
-                last_loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
-                save_checkpoint(
-                    os.path.join(cfg.save_dir, f"ckpt-{global_step}"),
-                    state,
-                    metadata={"step": global_step, "loss": last_loss,
-                              "config": cfg.to_json()},
-                )
+                if _crossed(cfg.log_every, global_step, k_done):
+                    # log the loss of the micro-step that actually crossed the
+                    # log_every multiple, at its true step index (with spc>1 the
+                    # dispatch can jump the counter past the multiple; all K
+                    # per-micro-step values are returned)
+                    log_step = (global_step // cfg.log_every) * cfg.log_every
+                    off = k_done - 1 - (global_step - log_step)
+                    if spc > 1 and 0 <= off < k_done:
+                        loss = float(metrics["loss"][off])
+                        mean_disp = float(metrics["mean_disparity"][off])
+                    else:
+                        log_step = global_step
+                        loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
+                        mean_disp = float(
+                            metrics["mean_disparity"][-1]
+                            if spc > 1 else metrics["mean_disparity"]
+                        )
+                    ips = timer.images_per_sec(cfg.batch_size * k_done)
+                    # durable metrics stream (reference only has a live progress
+                    # bar, src/Monodepth.jl:196); one JSON object per line
+                    if is_writer:
+                        with open(
+                            os.path.join(cfg.log_dir, "metrics.jsonl"), "a"
+                        ) as mf:
+                            mf.write(json.dumps({
+                                "step": log_step, "epoch": epoch, "loss": loss,
+                                "mean_disparity": mean_disp,
+                                "img_per_sec": round(ips, 1), "ts": time.time(),
+                            }) + "\n")
+                    if progress and hasattr(batches, "set_postfix"):
+                        batches.set_postfix(loss=f"{loss:.4f}", ips=f"{ips:.0f}")
+                    if verbose and not progress:
+                        print(
+                            f"epoch {epoch + 1}/{cfg.epochs} step {global_step} "
+                            f"loss {loss:.5f} {ips:.1f} img/s"
+                        )
+                    if is_writer:
+                        disp = np.asarray(aux["disparity"][0, ..., 0])
+                        save_disparity(
+                            disp,
+                            os.path.join(cfg.log_dir, f"disp-{global_step}.png"),
+                        )
+                        for sid, w in enumerate(aux["warped"]):
+                            save_warped(
+                                np.asarray(w[0]),
+                                os.path.join(
+                                    cfg.log_dir, f"warp-{global_step}-{sid}.png"
+                                ),
+                            )
 
-            if max_steps is not None and global_step >= max_steps:
-                done = True
-                break
+                if _crossed(cfg.save_every, global_step, k_done) and is_writer:
+                    last_loss = float(metrics["loss"][-1] if spc > 1 else metrics["loss"])
+                    save_checkpoint(
+                        os.path.join(cfg.save_dir, f"ckpt-{global_step}"),
+                        state,
+                        metadata={"step": global_step, "loss": last_loss,
+                                  "config": cfg.to_json()},
+                    )
+
+                if max_steps is not None and global_step >= max_steps:
+                    done = True
+                    break
+    finally:
+        if prev_debug_nans is not None and not prev_debug_nans:
+            jax.config.update("jax_debug_nans", False)
 
     if is_writer:
         save_checkpoint(

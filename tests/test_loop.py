@@ -170,3 +170,17 @@ def test_step_cache_is_bounded():
     last_cfg = dataclasses.replace(base, seed=3 * loop_mod._STEP_CACHE_MAX - 1)
     key = (last_cfg, np.asarray(ctx.K).tobytes(), None, 1)
     assert key in loop_mod._STEP_CACHE
+
+
+@pytest.mark.slow
+def test_fit_resume_at_max_steps_trains_nothing(cfg):
+    """A fit() resumed AT (or past) max_steps must not dispatch another
+    steps_per_call group: each re-invocation used to train spc extra steps
+    past the requested budget because the stop check ran post-dispatch."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, steps_per_call=2)
+    ds = SyntheticTriplets(n=4, target_size=cfg.target_size)
+    fit(cfg2, ds, max_steps=2, verbose=False)
+    state, _ = fit(cfg2, ds, max_steps=2, resume=True, verbose=False)
+    assert int(state.step) == 2  # not 4
