@@ -366,3 +366,55 @@ def test_placement_prefetch_short_iterator():
 
     assert list(placement_prefetch(iter([7]), lambda b: b + 1, size=3)) == [8]
     assert list(placement_prefetch(iter([]), lambda b: b, size=2)) == []
+
+
+def test_accepts_rng_signature_probe():
+    """The rng capability is probed ONCE from the __getitem__ signature
+    (data.loader.accepts_rng); (idx, rng), *args, and defaulted-rng datasets
+    are rng-capable, classic 1-arg and keyword-only-rng datasets are not."""
+    from monodepth2_tpu.data.loader import accepts_rng
+
+    class OneArg:
+        def __getitem__(self, i):
+            return i
+
+    class TwoArg:
+        def __getitem__(self, i, rng):
+            return i
+
+    class DefaultRng:
+        def __getitem__(self, i, rng=None):
+            return i
+
+    class VarArgs:
+        def __getitem__(self, *args):
+            return args[0]
+
+    class KwOnlyRng:
+        def __getitem__(self, i, *, rng=None):
+            return i
+
+    assert not accepts_rng(OneArg())
+    assert accepts_rng(TwoArg())
+    assert accepts_rng(DefaultRng())
+    assert accepts_rng(VarArgs())
+    assert not accepts_rng(KwOnlyRng())
+    assert not accepts_rng([1, 2, 3])  # builtin list: classic 1-arg
+
+
+def test_loader_propagates_typeerror_from_rng_dataset():
+    """Regression: a TypeError raised INSIDE a two-arg __getitem__ (a genuine
+    dataset bug) must propagate, not be silently retried without the rng —
+    the old `except TypeError` fallback masked it and corrupted the
+    reproducibility contract."""
+
+    class Buggy:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i, rng):
+            raise TypeError("genuine dataset bug")
+
+    dl = DataLoader(Buggy(), batch_size=2, shuffle=False, num_workers=1)
+    with pytest.raises(TypeError, match="genuine dataset bug"):
+        next(iter(dl))
